@@ -1,0 +1,308 @@
+"""Procedural test scenes.
+
+The reference repo benchmarks against external OBJ scenes (sponza, bunny,
+dragon, hairball, Mori Knob, ...) that are not distributed with it.  These
+generators produce deterministic stand-ins with matched triangle counts and
+similar *traversal character* (smooth blob vs architectural interior vs
+incoherent hair) so builder regressions and Mray/s benchmarks are runnable
+hermetically.  Real OBJ files load through tpu_rt.scene.objio just like the
+reference's importer.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tpu_rt.scene.objio import Material, Mesh
+
+
+def _mesh_from_tris(positions: np.ndarray, indices: np.ndarray, materials=None, splits=None) -> Mesh:
+    positions = np.asarray(positions, np.float32).reshape(-1, 3)
+    indices = np.asarray(indices, np.int32).reshape(-1, 3)
+    if materials is None:
+        materials = [Material()]
+        submeshes = [indices]
+    else:
+        assert splits is not None and len(splits) == len(materials)
+        submeshes = []
+        start = 0
+        for count in splits:
+            submeshes.append(indices[start : start + count])
+            start += count
+    return Mesh(positions=positions, normals=None, texcoords=None, submeshes=submeshes, materials=materials)
+
+
+def make_quad() -> Mesh:
+    pos = np.array([[-1, 0, -1], [1, 0, -1], [1, 0, 1], [-1, 0, 1]], np.float32)
+    idx = np.array([[0, 1, 2], [0, 2, 3]], np.int32)
+    return _mesh_from_tris(pos, idx)
+
+
+def make_cube(center=(0, 0, 0), size=1.0) -> Mesh:
+    c = np.asarray(center, np.float32)
+    h = size * 0.5
+    corners = np.array(
+        [[x, y, z] for x in (-h, h) for y in (-h, h) for z in (-h, h)], np.float32
+    ) + c
+    # Each face as two triangles, outward winding.
+    faces = [
+        (0, 1, 3, 2),  # -x
+        (4, 6, 7, 5),  # +x
+        (0, 4, 5, 1),  # -y
+        (2, 3, 7, 6),  # +y
+        (0, 2, 6, 4),  # -z
+        (1, 5, 7, 3),  # +z
+    ]
+    idx = []
+    for a, b, cc, d in faces:
+        idx += [(a, b, cc), (a, cc, d)]
+    return _mesh_from_tris(corners, np.asarray(idx, np.int32))
+
+
+def make_sphere(n_lat: int = 16, n_lon: int = 32, radius: float = 1.0, center=(0, 0, 0)) -> Mesh:
+    """UV sphere with 2 * n_lat * n_lon - 2 * n_lon triangles."""
+    c = np.asarray(center, np.float32)
+    lats = np.linspace(0.0, np.pi, n_lat + 1)
+    lons = np.linspace(0.0, 2 * np.pi, n_lon, endpoint=False)
+    lat, lon = np.meshgrid(lats, lons, indexing="ij")
+    pos = np.stack(
+        [
+            radius * np.sin(lat) * np.cos(lon),
+            radius * np.cos(lat),
+            radius * np.sin(lat) * np.sin(lon),
+        ],
+        axis=-1,
+    ).reshape(-1, 3).astype(np.float32) + c
+
+    def vid(i, j):
+        return i * n_lon + (j % n_lon)
+
+    idx = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a, b = vid(i, j), vid(i, j + 1)
+            cq, d = vid(i + 1, j), vid(i + 1, j + 1)
+            if i > 0:
+                idx.append((a, b, d))
+            if i < n_lat - 1:
+                idx.append((a, d, cq))
+    return _mesh_from_tris(pos, np.asarray(idx, np.int32))
+
+
+def _icosahedron() -> tuple[np.ndarray, np.ndarray]:
+    t = (1.0 + np.sqrt(5.0)) / 2.0
+    pos = np.array(
+        [
+            [-1, t, 0], [1, t, 0], [-1, -t, 0], [1, -t, 0],
+            [0, -1, t], [0, 1, t], [0, -1, -t], [0, 1, -t],
+            [t, 0, -1], [t, 0, 1], [-t, 0, -1], [-t, 0, 1],
+        ],
+        np.float64,
+    )
+    pos /= np.linalg.norm(pos, axis=1, keepdims=True)
+    idx = np.array(
+        [
+            [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
+            [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
+            [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
+            [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        ],
+        np.int32,
+    )
+    return pos, idx
+
+
+def _subdivide(pos: np.ndarray, idx: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """One loop of 1->4 triangle subdivision with midpoint welding."""
+    edge_cache: dict = {}
+    pos_list = list(pos)
+
+    def midpoint(a: int, b: int) -> int:
+        key = (a, b) if a < b else (b, a)
+        cached = edge_cache.get(key)
+        if cached is not None:
+            return cached
+        m = (pos[a] + pos[b]) * 0.5
+        pos_list.append(m)
+        edge_cache[key] = len(pos_list) - 1
+        return edge_cache[key]
+
+    out = np.empty((idx.shape[0] * 4, 3), np.int64)
+    for k, (a, b, c) in enumerate(idx):
+        ab, bc, ca = midpoint(a, b), midpoint(b, c), midpoint(c, a)
+        out[4 * k + 0] = (a, ab, ca)
+        out[4 * k + 1] = (b, bc, ab)
+        out[4 * k + 2] = (c, ca, bc)
+        out[4 * k + 3] = (ab, bc, ca)
+    return np.asarray(pos_list, np.float64), out
+
+
+def _fbm3(p: np.ndarray, seed: int, octaves: int = 5) -> np.ndarray:
+    """Cheap deterministic value noise via trig hashing — enough surface
+    detail to make blob traversal depth resemble a scanned model."""
+    rng = np.random.default_rng(seed)
+    out = np.zeros(p.shape[0])
+    amp = 1.0
+    freq = 1.5
+    for _ in range(octaves):
+        d = rng.normal(size=(3, 3))
+        ph = rng.uniform(0, 2 * np.pi, size=3)
+        q = p @ d.T * freq
+        out += amp * (np.sin(q[:, 0] + ph[0]) * np.sin(q[:, 1] + ph[1]) * np.sin(q[:, 2] + ph[2]))
+        amp *= 0.5
+        freq *= 2.1
+    return out
+
+
+def make_blob(target_tris: int, seed: int = 1, roughness: float = 0.25) -> Mesh:
+    """Displaced icosphere — a stand-in for scanned models (bunny/dragon).
+
+    Triangle count is 20 * 4^k for the smallest k >= target; the mesh is then
+    decimated to exactly ``target_tris`` by dropping the last triangles.
+    """
+    pos, idx = _icosahedron()
+    while idx.shape[0] < target_tris:
+        pos, idx = _subdivide(pos, idx)
+    pos = pos / np.linalg.norm(pos, axis=1, keepdims=True)
+    disp = _fbm3(pos, seed)
+    pos = pos * (1.0 + roughness * disp[:, None] * 0.5)
+    idx = idx[:target_tris]
+    used = np.unique(idx)
+    remap = np.full(pos.shape[0], -1, np.int64)
+    remap[used] = np.arange(used.size)
+    return _mesh_from_tris(pos[used], remap[idx], materials=[Material(name="blob")], splits=[idx.shape[0]])
+
+
+def make_interior(target_tris: int, seed: int = 2) -> Mesh:
+    """Architectural interior stand-in (sponza/conference/sibenik): a box room
+    with columns, crossbeams and clutter spheres; walls get distinct
+    materials so the submesh/material path is exercised."""
+    rng = np.random.default_rng(seed)
+    parts: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def add(mesh: Mesh):
+        parts.append((mesh.positions, mesh.flat_indices()))
+
+    # Room shell (inward facing is irrelevant for closest-hit testing).
+    add(make_cube(center=(0, 2.5, 0), size=1.0))
+    parts[-1] = (parts[-1][0] * np.array([20.0, 5.0, 10.0], np.float32), parts[-1][1])
+
+    # Columns.
+    n_cols = 12
+    for i in range(n_cols):
+        x = -8.0 + 16.0 * (i % (n_cols // 2)) / (n_cols // 2 - 1)
+        z = -3.0 if i < n_cols // 2 else 3.0
+        col = make_sphere(6, 8, radius=0.5, center=(x, 2.0, z))
+        sq = col.positions
+        sq[:, 1] = sq[:, 1] * 4.0 - 4.0  # stretch into a pillar
+        add(col)
+
+    # Clutter spheres until we approach the budget.
+    count = sum(p[1].shape[0] for p in parts)
+    while count < target_tris:
+        remaining = target_tris - count
+        n_lat = int(np.clip(np.sqrt(remaining / 4), 3, 24))
+        n_lon = 2 * n_lat
+        center = rng.uniform([-9, 0.3, -4], [9, 4.5, 4])
+        r = rng.uniform(0.15, 0.8)
+        s = make_sphere(n_lat, n_lon, radius=r, center=center)
+        add(s)
+        count += s.flat_indices().shape[0]
+
+    # Assemble with per-part materials cycling a small palette.
+    palette = [
+        Material(name=f"m{k}", diffuse=np.array(c, np.float32))
+        for k, c in enumerate(
+            [(0.8, 0.7, 0.6, 1.0), (0.6, 0.6, 0.8, 1.0), (0.7, 0.8, 0.6, 1.0), (0.9, 0.5, 0.4, 1.0)]
+        )
+    ]
+    all_pos, all_idx, splits, mats = [], [], [], []
+    voffset = 0
+    for k, (p, i) in enumerate(parts):
+        all_pos.append(p)
+        all_idx.append(i + voffset)
+        splits.append(i.shape[0])
+        mats.append(palette[k % len(palette)])
+        voffset += p.shape[0]
+    idx = np.concatenate(all_idx)[:target_tris]
+    # Fix up splits after truncation.
+    total = 0
+    kept_splits, kept_mats = [], []
+    for s, m in zip(splits, mats):
+        take = min(s, idx.shape[0] - total)
+        if take <= 0:
+            break
+        kept_splits.append(take)
+        kept_mats.append(m)
+        total += take
+    return _mesh_from_tris(np.concatenate(all_pos), idx, materials=kept_mats, splits=kept_splits)
+
+
+def make_hairball(target_tris: int, seed: int = 3) -> Mesh:
+    """Incoherent-geometry stand-in for the hairball scene: many thin,
+    randomly-curled triangle ribbons crammed into a sphere."""
+    rng = np.random.default_rng(seed)
+    segs_per_strand = 64
+    tris_per_strand = segs_per_strand * 2
+    n_strands = max(1, -(-target_tris // tris_per_strand))  # ceil, truncated below
+
+    pos_parts, idx_parts = [], []
+    voffset = 0
+    t = np.linspace(0, 1, segs_per_strand + 1)
+    for _ in range(n_strands):
+        # Random smooth space-curve: sum of a few random sinusoids.
+        freqs = rng.uniform(1.0, 6.0, size=(3, 3))
+        phases = rng.uniform(0, 2 * np.pi, size=(3, 3))
+        amps = rng.dirichlet(np.ones(3), size=3) * rng.uniform(0.3, 1.0)
+        curve = np.zeros((segs_per_strand + 1, 3))
+        for d in range(3):
+            for k in range(3):
+                curve[:, d] += amps[d, k] * np.sin(2 * np.pi * freqs[d, k] * t + phases[d, k])
+        # Ribbon: offset along a random constant binormal.
+        width = rng.uniform(0.002, 0.01)
+        binormal = rng.normal(size=3)
+        binormal = binormal / np.linalg.norm(binormal) * width
+        left = curve - binormal
+        right = curve + binormal
+        pts = np.empty((2 * (segs_per_strand + 1), 3))
+        pts[0::2] = left
+        pts[1::2] = right
+        tri = []
+        for s in range(segs_per_strand):
+            a, b, c, d = 2 * s, 2 * s + 1, 2 * s + 2, 2 * s + 3
+            tri += [(a, b, c), (b, d, c)]
+        pos_parts.append(pts)
+        idx_parts.append(np.asarray(tri, np.int64) + voffset)
+        voffset += pts.shape[0]
+
+    pos = np.concatenate(pos_parts)
+    idx = np.concatenate(idx_parts)[:target_tris]
+    return _mesh_from_tris(pos, idx, materials=[Material(name="hair", diffuse=np.array([0.7, 0.6, 0.3, 1.0], np.float32))], splits=[idx.shape[0]])
+
+
+# Reference scene-suite stand-ins with matched triangle counts
+# (counts from reference README.md:46-58; see BASELINE.md).
+_SUITE = {
+    "knob": lambda: make_blob(12_570, seed=10, roughness=0.08),
+    "sponza": lambda: make_interior(121_384, seed=11),
+    "bunny": lambda: make_blob(144_500, seed=12, roughness=0.2),
+    "conference": lambda: make_interior(350_949, seed=13),
+    "fairy": lambda: make_interior(174_117, seed=14),
+    "sibenik": lambda: make_interior(75_284, seed=15),
+    "dragon": lambda: make_blob(910_348, seed=16, roughness=0.3),
+    "sanmiguel": lambda: make_interior(1_500_000, seed=17),
+    "hairball": lambda: make_hairball(6_469_561, seed=18),
+}
+
+
+def scene_by_name(name: str) -> Mesh:
+    key = name.lower().replace(" ", "").replace("_", "").replace("-", "")
+    if key == "moriknob":
+        key = "knob"
+    if key not in _SUITE:
+        raise KeyError(f"unknown procedural scene {name!r}; have {sorted(_SUITE)}")
+    return _SUITE[key]()
+
+
+def suite_names() -> list[str]:
+    return sorted(_SUITE)
