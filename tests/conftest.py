@@ -6,7 +6,9 @@ without TPU hardware (SURVEY.md section 4).  Must set flags before jax import.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force, don't setdefault: the session environment exports JAX_PLATFORMS=axon
+# (single real TPU chip via a tunnel); unit tests must be hermetic + fast.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,80 @@
+"""Hash-keyed BVH build cache.
+
+Equivalent of the reference's bvhcache/%08x.dat discipline
+(src/rt/cuda/Renderer.cc:157-217, CudaBVH.cc:79-116): the key hashes the
+scene content, the SAH platform, the build params, and the layout version;
+the payload is the flattened arrays (npz) plus build stats, so a cache hit
+skips SBVH construction entirely.
+"""
+
+from __future__ import annotations
+
+import os
+import numpy as np
+
+from tpu_rt.bvh.builder import BuildParams, BuildStats, Platform, build_sbvh
+from tpu_rt.bvh.flatten import flatten_bvh
+from tpu_rt.core.math import hash_bits
+from tpu_rt.core.types import FlatBVH
+
+LAYOUT_VERSION = 2  # bump when the FlatBVH layout changes
+
+
+def bvh_cache_key(scene, platform: Platform, params: BuildParams) -> int:
+    return hash_bits(scene.hash(), platform.hash(), params.hash(), LAYOUT_VERSION)
+
+
+def load_or_build_bvh(
+    scene,
+    platform: Platform | None = None,
+    params: BuildParams | None = None,
+    cache_dir: str | None = "bvhcache",
+) -> tuple[FlatBVH, BuildStats]:
+    """Return (FlatBVH, BuildStats), consulting/populating the cache."""
+    platform = platform or Platform.gpu()
+    params = params or BuildParams()
+
+    path = None
+    if cache_dir is not None:
+        key = bvh_cache_key(scene, platform, params)
+        path = os.path.join(cache_dir, f"{key:08x}.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                flat = FlatBVH(
+                    nodes=z["nodes"],
+                    tri_woop=z["tri_woop"],
+                    tri_index=z["tri_index"],
+                    leaf_counts=z["leaf_counts"],
+                )
+                stats = BuildStats(
+                    sah_cost=float(z["sah_cost"]),
+                    num_inner_nodes=int(z["num_inner"]),
+                    num_leaf_nodes=int(z["num_leaf"]),
+                    num_child_nodes=int(z["num_child"]),
+                    num_tris=int(z["num_tris"]),
+                    num_duplicates=int(z["num_duplicates"]),
+                )
+            return flat, stats
+
+    bvh = build_sbvh(scene, platform, params)
+    flat = flatten_bvh(bvh, scene.tri_vtx_index, scene.vtx_pos)
+    stats = bvh.stats
+
+    if path is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(
+            tmp,
+            nodes=np.asarray(flat.nodes),
+            tri_woop=np.asarray(flat.tri_woop),
+            tri_index=np.asarray(flat.tri_index),
+            leaf_counts=np.asarray(flat.leaf_counts),
+            sah_cost=np.float64(stats.sah_cost),
+            num_inner=np.int64(stats.num_inner_nodes),
+            num_leaf=np.int64(stats.num_leaf_nodes),
+            num_child=np.int64(stats.num_child_nodes),
+            num_tris=np.int64(stats.num_tris),
+            num_duplicates=np.int64(stats.num_duplicates),
+        )
+        os.replace(tmp, path)
+    return flat, stats

@@ -80,11 +80,17 @@ class FlatBVH(NamedTuple):
     tri_woop : [num_refs, 12] f32 — Woop rows (woopZ, woopU, woopV), each 4
                floats, per *reference* (SBVH may duplicate triangles).
     tri_index: [num_refs] i32 — original scene triangle index per woop row.
+    leaf_counts: [num_refs + 1] i32 — triangle count of the leaf starting at
+               each woop row (0 elsewhere).  This replaces the reference's
+               -0.0f terminator: a popped leaf link ~first recovers its
+               extent as ``leaf_counts[first]`` with one gather, keeping the
+               triangle loop counted.  Row num_refs is the empty leaf.
     """
 
-    nodes: jnp.ndarray      # [num_nodes, 16] f32 (cols 12..15 bitcast i32)
-    tri_woop: jnp.ndarray   # [num_refs, 12] f32
-    tri_index: jnp.ndarray  # [num_refs] i32
+    nodes: jnp.ndarray       # [num_nodes, 16] f32 (cols 12..15 bitcast i32)
+    tri_woop: jnp.ndarray    # [num_refs, 12] f32
+    tri_index: jnp.ndarray   # [num_refs] i32
+    leaf_counts: jnp.ndarray # [num_refs + 1] i32
 
     @property
     def num_nodes(self) -> int:

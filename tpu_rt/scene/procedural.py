@@ -183,8 +183,9 @@ def make_interior(target_tris: int, seed: int = 2) -> Mesh:
     def add(mesh: Mesh):
         parts.append((mesh.positions, mesh.flat_indices()))
 
-    # Room shell (inward facing is irrelevant for closest-hit testing).
-    add(make_cube(center=(0, 2.5, 0), size=1.0))
+    # Room shell (inward facing is irrelevant for closest-hit testing):
+    # a unit cube centered at (0, 0.5, 0) scaled to x[-10,10], y[0,5], z[-5,5].
+    add(make_cube(center=(0, 0.5, 0), size=1.0))
     parts[-1] = (parts[-1][0] * np.array([20.0, 5.0, 10.0], np.float32), parts[-1][1])
 
     # Columns.
