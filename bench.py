@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness: prints ONE JSON line with the headline metric.
+
+Metric discipline matches the reference (src/rt/App.cc:188-204): Mray/s =
+rays / trace-kernel time only, excluding raygen/sort/reconstruct; warmup
+runs excluded.  Scene: procedural bunny-class surrogate (144,500 tris, the
+reference bunny's triangle count) — the reference's OBJ scene files are not
+redistributable, so the suite uses deterministic stand-ins with matched
+sizes (tpu_rt.scene.procedural).
+
+vs_baseline compares against the reference's published bunny primary rate
+(825.11 Mray/s, reference README.md:65; BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+SCENE = os.environ.get("BENCH_SCENE", "bunny")
+RAY_TYPE = os.environ.get("BENCH_RAY_TYPE", "primary")
+WIDTH = int(os.environ.get("BENCH_WIDTH", 1024))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", 768))
+WARMUP = int(os.environ.get("BENCH_WARMUP", 2))
+REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
+
+# Reference Mray/s (BASELINE.md) keyed by (scene, ray_type).
+BASELINES = {
+    ("sponza", "primary"): 597.51, ("knob", "primary"): 1271.61,
+    ("hairball", "primary"): 280.49, ("dragon", "primary"): 575.43,
+    ("bunny", "primary"): 825.11,
+    ("conference", "diffuse"): 831.28, ("fairy", "diffuse"): 678.77,
+    ("sibenik", "diffuse"): 286.97, ("sanmiguel", "diffuse"): 132.28,
+    ("sponza", "diffuse"): 325.33, ("knob", "diffuse"): 1466.05,
+    ("conference", "ao"): 1478.43, ("fairy", "ao"): 1280.77,
+    ("sibenik", "ao"): 1499.86, ("sanmiguel", "ao"): 556.89,
+    ("sponza", "ao"): 1022.61, ("knob", "ao"): 2763.01,
+}
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_rt.bvh import load_or_build_bvh
+    from tpu_rt.raygen import RayGen
+    from tpu_rt.scene import Camera, Scene, procedural
+    from tpu_rt.trace import device_bvh
+    from tpu_rt.trace.xla_tracer import trace_wavefront
+
+    t0 = time.time()
+    scene = Scene(procedural.scene_by_name(SCENE))
+    flat, stats = load_or_build_bvh(scene, cache_dir="bvhcache")
+    build_s = time.time() - t0
+
+    lo, hi = scene.bbox()
+    camera = Camera.for_bbox(lo, hi)
+    raygen = RayGen()
+    rays, _, _ = raygen.primary(camera, WIDTH, HEIGHT)
+
+    dbvh = device_bvh(flat)
+    any_hit = False
+
+    if RAY_TYPE != "primary":
+        primary_hits = trace_wavefront(dbvh, rays)
+        jax.block_until_ready(primary_hits)
+        from tpu_rt.raygen.generators import gen_ao_rays
+        import jax.numpy as jnp
+
+        max_dist = float(np.linalg.norm(hi - lo)) * 0.1 if RAY_TYPE == "ao" else camera.far
+        rays, _, _ = gen_ao_rays(
+            rays.origin, rays.dirn, primary_hits.t, primary_hits.tri,
+            jnp.asarray(scene.tri_normal), 1, jnp.float32(max_dist), jnp.uint32(0),
+        )
+        any_hit = RAY_TYPE == "ao"
+
+    n = int(rays.origin.shape[0])
+
+    def run():
+        hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
+        # Force completion with a device-scalar readback: on the tunneled
+        # axon platform block_until_ready returns before the computation
+        # actually finishes, so a value fetch is the only reliable fence.
+        return int(jnp.sum(hits.tri))
+
+    for _ in range(WARMUP):
+        run()
+    times = []
+    for _ in range(REPEATS):
+        t = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t)
+
+    best = min(times)
+    mrays = n / (best * 1e6)
+    baseline = BASELINES.get((SCENE, RAY_TYPE))
+    result = {
+        "metric": f"{SCENE}_{RAY_TYPE}_mrays_per_s",
+        "value": round(mrays, 3),
+        "unit": "Mray/s",
+        "vs_baseline": round(mrays / baseline, 4) if baseline else None,
+        "detail": {
+            "scene": SCENE,
+            "ray_type": RAY_TYPE,
+            "rays": n,
+            "tris": scene.num_triangles,
+            "bvh_refs": int(np.asarray(flat.tri_woop).shape[0]),
+            "best_s": round(best, 5),
+            "mean_s": round(float(np.mean(times)), 5),
+            "build_s": round(build_s, 2),
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,102 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh
+(SURVEY.md section 4: sharding logic testable without a pod)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpu_rt.bvh import build_sbvh, flatten_bvh
+from tpu_rt.core.types import make_rays, pad_rays
+from tpu_rt.diff.shading import render_image_diff
+from tpu_rt.dist import grad_step_sharded, make_ray_mesh, render_diff_sharded, shard_rays, trace_sharded
+from tpu_rt.dist.sharding import replicate_bvh
+from tpu_rt.scene import Camera, Scene, procedural
+from tpu_rt.trace import device_bvh, trace_wavefront
+
+
+@pytest.fixture(scope="module")
+def setup():
+    assert len(jax.devices()) == 8, "conftest must provide 8 CPU devices"
+    scene = Scene(procedural.make_blob(500, seed=50))
+    flat = device_bvh(flatten_bvh(build_sbvh(scene), scene.tri_vtx_index, scene.vtx_pos))
+    rng = np.random.default_rng(0)
+    lo, hi = scene.bbox()
+    size = float(np.linalg.norm(hi - lo))
+    n = 2048
+    origin = ((lo + hi) / 2 + rng.normal(size=(n, 3)) * size).astype(np.float32)
+    target = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    d = target - origin
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(origin, d, np.zeros(n), np.full(n, 4 * size))
+    return scene, flat, rays
+
+
+def test_trace_sharded_matches_single(setup):
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    single = trace_wavefront(flat, rays)
+    sharded = trace_sharded(replicate_bvh(flat, mesh), shard_rays(rays, mesh), mesh)
+    np.testing.assert_array_equal(np.asarray(sharded.tri), np.asarray(single.tri))
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t), rtol=1e-6)
+
+
+def test_pad_rays_for_mesh(setup):
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    odd = jax.tree_util.tree_map(lambda x: x[:1001], rays)
+    padded, n = pad_rays(odd, mesh.devices.size)
+    assert n == 1001 and padded.origin.shape[0] % 8 == 0
+    hits = trace_sharded(replicate_bvh(flat, mesh), shard_rays(padded, mesh), mesh)
+    single = trace_wavefront(flat, odd)
+    np.testing.assert_array_equal(np.asarray(hits.tri)[:1001], np.asarray(single.tri))
+    # Padding rays are degenerate -> always miss.
+    assert np.all(np.asarray(hits.tri)[1001:] == -1)
+
+
+def test_render_diff_sharded_matches_single(setup):
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    vtx = jnp.asarray(scene.vtx_pos)
+    tvi = jnp.asarray(scene.tri_vtx_index)
+    mat = jnp.asarray(scene.tri_material)
+    single = render_image_diff(flat, rays, vtx, tvi, mat)
+    sharded = render_diff_sharded(
+        mesh, replicate_bvh(flat, mesh), shard_rays(rays, mesh), vtx, tvi, mat
+    )
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(single), rtol=1e-6, atol=1e-7)
+
+
+def test_grad_step_sharded_matches_single(setup):
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    vtx = jnp.asarray(scene.vtx_pos)
+    tvi = jnp.asarray(scene.tri_vtx_index)
+    mat = jnp.asarray(scene.tri_material)
+    rng = np.random.default_rng(1)
+    target = jnp.asarray(rng.uniform(0, 1, (rays.origin.shape[0], 3)).astype(np.float32))
+
+    loss_sh, g_vtx_sh, g_mat_sh = grad_step_sharded(
+        mesh, replicate_bvh(flat, mesh), shard_rays(rays, mesh), vtx, tvi, mat,
+        jax.device_put(target, jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rays", None))),
+    )
+
+    def single_loss(vp, m):
+        rgb = render_image_diff(flat, rays, vp, tvi, m)
+        return jnp.mean((rgb - target) ** 2)
+
+    loss_1, (g_vtx_1, g_mat_1) = jax.value_and_grad(single_loss, argnums=(0, 1))(vtx, mat)
+    np.testing.assert_allclose(float(loss_sh), float(loss_1), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g_vtx_sh), np.asarray(g_vtx_1), rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(g_mat_sh), np.asarray(g_mat_1), rtol=1e-4, atol=1e-7)
+
+
+def test_scaling_smoke(setup):
+    # All 8 devices hold a shard of the rays; BVH replicated on each.
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    sharded_rays = shard_rays(rays, mesh)
+    assert len(sharded_rays.origin.sharding.device_set) == 8
+    rep = replicate_bvh(flat, mesh)
+    assert len(rep.nodes.sharding.device_set) == 8

@@ -20,6 +20,39 @@ from tpu_rt.core.types import FlatBVH
 LAYOUT_VERSION = 2  # bump when the FlatBVH layout changes
 
 
+def build_flat_bvh(scene, platform: Platform, params: BuildParams, backend: str = "auto"):
+    """Build + flatten, choosing the native C++ or numpy builder."""
+    if backend in ("auto", "native"):
+        from tpu_rt import native
+
+        out = native.sbvh_build_native(scene.tri_vtx_index, scene.vtx_pos, platform, params)
+        if out is not None:
+            arrays, nstats = out
+            flat = FlatBVH(
+                nodes=arrays["nodes"],
+                tri_woop=arrays["tri_woop"],
+                tri_index=arrays["tri_index"],
+                leaf_counts=arrays["leaf_counts"],
+            )
+            links = arrays["nodes"][:, 12:16].copy().view(np.int32)
+            num_leaves = int((links[:, :2] < 0).sum())
+            stats = BuildStats(
+                sah_cost=nstats["sah_cost"],
+                num_inner_nodes=int(arrays["nodes"].shape[0]),
+                num_leaf_nodes=num_leaves,
+                num_child_nodes=2 * int(arrays["nodes"].shape[0]),
+                num_tris=int(arrays["tri_index"].shape[0]),
+                num_duplicates=nstats["num_duplicates"],
+            )
+            return flat, stats
+        if backend == "native":
+            raise RuntimeError(f"native builder unavailable: {native.build_error()}")
+
+    bvh = build_sbvh(scene, platform, params)
+    flat = flatten_bvh(bvh, scene.tri_vtx_index, scene.vtx_pos)
+    return flat, bvh.stats
+
+
 def bvh_cache_key(scene, platform: Platform, params: BuildParams) -> int:
     return hash_bits(scene.hash(), platform.hash(), params.hash(), LAYOUT_VERSION)
 
@@ -29,8 +62,13 @@ def load_or_build_bvh(
     platform: Platform | None = None,
     params: BuildParams | None = None,
     cache_dir: str | None = "bvhcache",
+    backend: str = "auto",
 ) -> tuple[FlatBVH, BuildStats]:
-    """Return (FlatBVH, BuildStats), consulting/populating the cache."""
+    """Return (FlatBVH, BuildStats), consulting/populating the cache.
+
+    backend: "auto" prefers the native C++ builder (tpu_rt.native) and falls
+    back to numpy; "native"/"numpy" force one (native raises if missing).
+    """
     platform = platform or Platform.gpu()
     params = params or BuildParams()
 
@@ -56,9 +94,7 @@ def load_or_build_bvh(
                 )
             return flat, stats
 
-    bvh = build_sbvh(scene, platform, params)
-    flat = flatten_bvh(bvh, scene.tri_vtx_index, scene.vtx_pos)
-    stats = bvh.stats
+    flat, stats = build_flat_bvh(scene, platform, params, backend=backend)
 
     if path is not None:
         os.makedirs(cache_dir, exist_ok=True)

@@ -1,0 +1,148 @@
+"""Multi-chip scaling: rays sharded over a device mesh, geometry replicated.
+
+The reference is single-process single-GPU (SURVEY.md section 2.3); this
+layer is the new first-class component the TPU build adds.  Design, per the
+scaling-book recipe (mesh -> shardings -> XLA collectives):
+
+- Mesh: one axis ("rays") over all chips; on multi-host slices the axis
+  spans hosts so DCN only carries batch boundaries.
+- Rays are batch-data-parallel: each chip traces its shard with an
+  *independent* traversal loop.  shard_map (not plain jit-of-while_loop) is
+  essential: automatic partitioning of a while_loop would insert a global
+  all-reduce on the loop condition every iteration; shard_map keeps each
+  chip's loop local so there are NO collectives in the forward trace.
+- BVH + triangle tables are replicated (tens of MB for the reference suite
+  — SURVEY.md section 5), broadcast once at upload.
+- Backward: per-chip vertex/material grads are psum'd over ICI — the only
+  communication in the step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from tpu_rt.core.types import FlatBVH, Hits, Rays
+from tpu_rt.diff.shading import shade_hits_diff
+from tpu_rt.diff.tracer import trace_diff
+from tpu_rt.trace.xla_tracer import trace_wavefront
+
+AXIS = "rays"
+
+
+def make_ray_mesh(devices=None) -> Mesh:
+    """1-D mesh over all devices (or the given ones) on the ray axis."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    return Mesh(devices.reshape(-1), (AXIS,))
+
+
+def shard_rays(rays: Rays, mesh: Mesh) -> Rays:
+    """Place a ray batch sharded over the mesh (pads are the caller's job:
+    N must divide by mesh size — use tpu_rt.core.types.pad_rays)."""
+    n_dev = mesh.devices.size
+    assert rays.origin.shape[0] % n_dev == 0, (
+        f"ray count {rays.origin.shape[0]} not divisible by {n_dev} devices; pad_rays first"
+    )
+    sh1 = NamedSharding(mesh, P(AXIS))
+    return Rays(
+        origin=jax.device_put(rays.origin, NamedSharding(mesh, P(AXIS, None))),
+        dirn=jax.device_put(rays.dirn, NamedSharding(mesh, P(AXIS, None))),
+        tmin=jax.device_put(rays.tmin, sh1),
+        tmax=jax.device_put(rays.tmax, sh1),
+    )
+
+
+def replicate_bvh(flat: FlatBVH, mesh: Mesh) -> FlatBVH:
+    rep = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), rep), flat)
+
+
+@partial(jax.jit, static_argnames=("mesh", "any_hit"))
+def _trace_sharded_jit(mesh, any_hit, flat, rays):
+    fn = shard_map(
+        lambda f, r: trace_wavefront(f, r, any_hit=any_hit),
+        mesh=mesh,
+        in_specs=(P(), Rays(origin=P(AXIS, None), dirn=P(AXIS, None), tmin=P(AXIS), tmax=P(AXIS))),
+        out_specs=Hits(tri=P(AXIS), t=P(AXIS), u=P(AXIS), v=P(AXIS)),
+        check_vma=False,
+    )
+    return fn(flat, rays)
+
+
+def trace_sharded(flat: FlatBVH, rays: Rays, mesh: Mesh, any_hit: bool = False) -> Hits:
+    """Trace with rays sharded across the mesh.  Forward pass has no
+    cross-chip communication; each chip runs its own wavefront loop."""
+    return _trace_sharded_jit(mesh, any_hit, flat, rays)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def render_diff_sharded(mesh, flat, rays, vtx_pos, tri_vtx_index, tri_material):
+    """Sharded differentiable render: per-ray RGB, rays sharded, geometry
+    replicated."""
+
+    def local(f, r, vp, tvi, mat):
+        hits = trace_diff(False, f, r, vp, tvi)
+        return shade_hits_diff(hits.tri, vp, tvi, mat)
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            Rays(origin=P(AXIS, None), dirn=P(AXIS, None), tmin=P(AXIS), tmax=P(AXIS)),
+            P(),
+            P(),
+            P(),
+        ),
+        out_specs=P(AXIS, None),
+        check_vma=False,
+    )
+    return fn(flat, rays, vtx_pos, tri_vtx_index, tri_material)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def grad_step_sharded(mesh, flat, rays, vtx_pos, tri_vtx_index, tri_material, target):
+    """One full 'training step': sharded forward render, L2 image loss
+    against `target` ([N,3], sharded like rays), backward with vertex +
+    material gradient all-reduce (psum over ICI).
+
+    Returns (loss, grad_vtx_pos, grad_tri_material) — all replicated.
+    """
+
+    def local(f, r, vp, tvi, mat, tgt):
+        def loss_fn(vp_, mat_):
+            hits = trace_diff(False, f, r, vp_, tvi)
+            rgb = shade_hits_diff(hits.tri, vp_, tvi, mat_)
+            # Mean over the *global* batch: local sum / global count.
+            return jnp.sum((rgb - tgt) ** 2)
+
+        loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1))(vp, mat)
+        # The only collectives in the step: gradient + loss reduction.
+        loss = jax.lax.psum(loss, AXIS)
+        g_vp = jax.lax.psum(grads[0], AXIS)
+        g_mat = jax.lax.psum(grads[1], AXIS)
+        n_global = r.origin.shape[0] * jax.lax.psum(1, AXIS)
+        scale = 1.0 / (n_global * 3)
+        return loss * scale, g_vp * scale, g_mat * scale
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),
+            Rays(origin=P(AXIS, None), dirn=P(AXIS, None), tmin=P(AXIS), tmax=P(AXIS)),
+            P(),
+            P(),
+            P(),
+            P(AXIS, None),
+        ),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return fn(flat, rays, vtx_pos, tri_vtx_index, tri_material, target)
