@@ -65,6 +65,18 @@ def main() -> None:
     dbvh = device_bvh(flat)
     any_hit = False
 
+    from tpu_rt.trace.pallas_tracer import pack_kernel_tables, tables_fit_vmem, trace_packet_pallas
+
+    tracer = os.environ.get("BENCH_TRACER", "auto")
+    tables = None
+    if tracer in ("auto", "pallas") and tables_fit_vmem(flat):
+        packed = pack_kernel_tables(flat)
+        if packed is not None:
+            tables = (jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+            tracer = "pallas"
+    if tracer != "pallas":
+        tracer = "xla"
+
     if RAY_TYPE != "primary":
         primary_hits = trace_wavefront(dbvh, rays)
         jax.block_until_ready(primary_hits)
@@ -81,7 +93,10 @@ def main() -> None:
     n = int(rays.origin.shape[0])
 
     def run():
-        hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
+        if tracer == "pallas":
+            hits = trace_packet_pallas(flat, rays, any_hit=any_hit, tables=tables)
+        else:
+            hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
         # Force completion with a device-scalar readback: on the tunneled
         # axon platform block_until_ready returns before the computation
         # actually finishes, so a value fetch is the only reliable fence.
@@ -112,6 +127,7 @@ def main() -> None:
             "best_s": round(best, 5),
             "mean_s": round(float(np.mean(times)), 5),
             "build_s": round(build_s, 2),
+            "tracer": tracer,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

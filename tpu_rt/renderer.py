@@ -42,6 +42,9 @@ class RendererParams:
     max_batch: int = 1 << 21
     seed: int = 0
     cache_dir: str | None = "bvhcache"
+    # "auto": packet Pallas kernel on TPU when the tables fit VMEM, else the
+    # portable XLA wavefront tracer.  "pallas"/"xla" force one.
+    tracer: str = "auto"
 
 
 @dataclass
@@ -97,7 +100,28 @@ class Renderer:
             self._tri_normal_dev = jnp.asarray(self.scene.tri_normal)
             self._tri_shaded_dev = jnp.asarray(self.scene.tri_shaded)
             self._tri_material_dev = jnp.asarray(self.scene.tri_material)
+            self._select_tracer()
         return self._dbvh
+
+    def _select_tracer(self) -> None:
+        from tpu_rt.trace.pallas_tracer import pack_kernel_tables, tables_fit_vmem
+
+        choice = self.params.tracer
+        self._packet_tables = None
+        if choice == "xla":
+            self.active_tracer = "xla"
+            return
+        on_tpu = jax.default_backend() == "tpu"
+        want_pallas = choice == "pallas" or (choice == "auto" and on_tpu)
+        if want_pallas and tables_fit_vmem(self.flat):
+            packed = pack_kernel_tables(self.flat)
+            if packed is not None:
+                self._packet_tables = (jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+                self.active_tracer = "pallas"
+                return
+        if choice == "pallas":
+            raise RuntimeError("pallas tracer requested but scene exceeds kernel limits")
+        self.active_tracer = "xla"
 
     # -- frame cycle ---------------------------------------------------------
 
@@ -126,8 +150,15 @@ class Renderer:
         dbvh = self._ensure_bvh()
         jax.block_until_ready(rays)
         t0 = time.perf_counter()
-        hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
-        jax.block_until_ready(hits)
+        if self.active_tracer == "pallas":
+            from tpu_rt.trace.pallas_tracer import trace_packet_pallas
+
+            hits = trace_packet_pallas(self.flat, rays, any_hit=any_hit, tables=self._packet_tables)
+        else:
+            hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
+        # Device-scalar fence: block_until_ready does not reliably fence on
+        # the tunneled TPU platform.
+        _ = int(jnp.sum(hits.tri))
         dt = time.perf_counter() - t0
         if count:
             self.trace_time_s += dt
