@@ -92,23 +92,29 @@ def main() -> None:
 
     n = int(rays.origin.shape[0])
 
-    def run():
-        if tracer == "pallas":
-            hits = trace_packet_pallas(flat, rays, any_hit=any_hit, tables=tables)
-        else:
-            hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
-        # Force completion with a device-scalar readback: on the tunneled
-        # axon platform block_until_ready returns before the computation
-        # actually finishes, so a value fetch is the only reliable fence.
-        return int(jnp.sum(hits.tri))
+    chain = int(os.environ.get("BENCH_CHAIN", 4))
+
+    def run(repeats: int = 1):
+        # Chain several independent traces per timing fence: each dispatch
+        # through the tunneled platform costs ~10s of ms of fixed overhead,
+        # and block_until_ready does not fence — only a device-scalar
+        # readback does.  Chaining amortizes both.
+        acc = jnp.int32(0)
+        for _ in range(repeats):
+            if tracer == "pallas":
+                hits = trace_packet_pallas(flat, rays, any_hit=any_hit, tables=tables)
+            else:
+                hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
+            acc = acc + jnp.sum(hits.tri)
+        return int(acc)
 
     for _ in range(WARMUP):
         run()
     times = []
     for _ in range(REPEATS):
         t = time.perf_counter()
-        run()
-        times.append(time.perf_counter() - t)
+        run(chain)
+        times.append((time.perf_counter() - t) / chain)
 
     best = min(times)
     mrays = n / (best * 1e6)
