@@ -13,3 +13,11 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The axon sitecustomize (PYTHONPATH=/root/.axon_site) registers the TPU
+# plugin and overrides JAX_PLATFORMS at interpreter startup, so the env var
+# alone is not enough; the config update below wins as long as it runs
+# before the first backend use (pytest imports conftest before test modules).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
