@@ -158,6 +158,8 @@ def _packet_kernel(any_hit: bool,
             row = _fetch_record(nodes_ref, node)  # (1,16)
 
             def sc(i):
+                # Scalar extract; a (1,1)->(S,128) broadcast would be cheaper
+                # but Mosaic can't broadcast sublanes and lanes in one op.
                 return row[0, i]
 
             def span(lox, hix, loy, hiy, loz, hiz):
@@ -217,37 +219,46 @@ def _packet_kernel(any_hit: bool,
             enc = ~node
             first = enc & FIRST_MASK
             count = (enc >> COUNT_SHIFT) & 0xFF
+            last = first + count - 1
 
-            def tri_body(j, _):
-                w = _fetch_record(woop_ref, first + j)  # (1,16), cols 0..11
+            # One row fetch covers 8 consecutive records; leaves (<=8 tris,
+            # stored contiguously) span at most 2 rows.  Per-slot tests are
+            # statically unrolled and branch-guarded so only real triangles
+            # pay compute, and every triangle constant enters as a (1,1)
+            # lane broadcast -- the leaf phase has NO vector->scalar moves.
+            def row_body(r, _):
+                wrow = woop_ref[pl.ds(r, 1), :]  # (1,128)
+                for j in range(8):
+                    m = r * 8 + j
 
-                def sw(i):
-                    return w[0, i]
+                    @pl.when((m >= first) & (m <= last))
+                    def _():
+                        def sw(i):
+                            return wrow[0, 16 * j + i]
 
-                oz_t = sw(3) - ox * sw(0) - oy * sw(1) - oz * sw(2)
-                dz_t = dx * sw(0) + dy * sw(1) + dz * sw(2)
-                t = oz_t / dz_t
-                ox_t = sw(7) + ox * sw(4) + oy * sw(5) + oz * sw(6)
-                dx_t = dx * sw(4) + dy * sw(5) + dz * sw(6)
-                u = ox_t + t * dx_t
-                oy_t = sw(11) + ox * sw(8) + oy * sw(9) + oz * sw(10)
-                dy_t = dx * sw(8) + dy * sw(9) + dz * sw(10)
-                v = oy_t + t * dy_t
+                        oz_t = sw(3) - ox * sw(0) - oy * sw(1) - oz * sw(2)
+                        dz_t = dx * sw(0) + dy * sw(1) + dz * sw(2)
+                        t = oz_t / dz_t
+                        ox_t = sw(7) + ox * sw(4) + oy * sw(5) + oz * sw(6)
+                        dx_t = dx * sw(4) + dy * sw(5) + dz * sw(6)
+                        u = ox_t + t * dx_t
+                        oy_t = sw(11) + ox * sw(8) + oy * sw(9) + oz * sw(10)
+                        dy_t = dx * sw(8) + dy * sw(9) + dz * sw(10)
+                        v = oy_t + t * dy_t
 
-                cur_t = hit_t_ref[0]
-                if any_hit:
-                    undecided = hit_row_ref[0] < 0
-                    ok = valid & undecided
-                else:
-                    ok = valid
-                ok = ok & (t > tmin) & (t < cur_t) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
-                hit_t_ref[0] = jnp.where(ok, t, cur_t)
-                hit_row_ref[0] = jnp.where(ok, first + j, hit_row_ref[0])
-                hit_u_ref[0] = jnp.where(ok, u, hit_u_ref[0])
-                hit_v_ref[0] = jnp.where(ok, v, hit_v_ref[0])
+                        cur_t = hit_t_ref[0]
+                        if any_hit:
+                            ok = valid & (hit_row_ref[0] < 0)
+                        else:
+                            ok = valid
+                        ok = ok & (t > tmin) & (t < cur_t) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+                        hit_t_ref[0] = jnp.where(ok, t, cur_t)
+                        hit_row_ref[0] = jnp.where(ok, m, hit_row_ref[0])
+                        hit_u_ref[0] = jnp.where(ok, u, hit_u_ref[0])
+                        hit_v_ref[0] = jnp.where(ok, v, hit_v_ref[0])
                 return 0
 
-            jax.lax.fori_loop(0, count, tri_body, 0)
+            jax.lax.fori_loop(first // 8, last // 8 + 1, row_body, 0)
 
             sp_after = sp - 1
             popped = stack_ref[jnp.clip(sp_after, 0, STACK_DEPTH - 1)]
