@@ -65,14 +65,13 @@ def main() -> None:
     dbvh = device_bvh(flat)
     any_hit = False
 
-    from tpu_rt.trace.pallas_tracer import pack_kernel_tables, tables_fit_vmem, trace_packet_pallas
+    from tpu_rt.trace.packet2 import prepare_tables2, tables2_fit_vmem, trace_packet2
 
     tracer = os.environ.get("BENCH_TRACER", "auto")
     tables = None
-    if tracer in ("auto", "pallas") and tables_fit_vmem(flat):
-        packed = pack_kernel_tables(flat)
-        if packed is not None:
-            tables = (jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+    if tracer in ("auto", "pallas") and tables2_fit_vmem(flat):
+        tables = prepare_tables2(flat)
+        if tables is not None:
             tracer = "pallas"
     if tracer != "pallas":
         tracer = "xla"
@@ -102,7 +101,7 @@ def main() -> None:
         acc = jnp.int32(0)
         for _ in range(repeats):
             if tracer == "pallas":
-                hits = trace_packet_pallas(flat, rays, any_hit=any_hit, tables=tables)
+                hits = trace_packet2(flat, rays, any_hit=any_hit, tables=tables)
             else:
                 hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
             acc = acc + jnp.sum(hits.tri)

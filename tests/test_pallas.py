@@ -87,3 +87,49 @@ def test_packet_interior(setup):
     s_id, s_t, _, _ = trace_flat_scalar(flat2, o, d, tmin, tmax)
     hits = trace_packet_pallas(flat2, make_rays(o, d, tmin, tmax), interpret=True)
     np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+
+
+# ---- generation-2 branch-free interleaved kernel ----
+
+from tpu_rt.trace.packet2 import (  # noqa: E402
+    TILE as TILE2,
+    K as K2,
+    pack_tables2,
+    trace_packet2,
+)
+
+
+def test_packet2_matches_oracle(setup):
+    scene, flat = setup
+    n = K2 * TILE2 + 300  # one full instance + one padded instance
+    o, d, tmin, tmax = _rays(scene, n)
+    s_id, s_t, s_u, s_v = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), interpret=True)
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    hit = s_id >= 0
+    np.testing.assert_allclose(np.asarray(hits.t)[hit], s_t[hit], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(hits.u)[hit], s_u[hit], rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hits.v)[hit], s_v[hit], rtol=1e-3, atol=1e-4)
+
+
+def test_packet2_any_hit(setup):
+    scene, flat = setup
+    o, d, tmin, tmax = _rays(scene, 600, seed=1)
+    c_id, c_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), any_hit=True, interpret=True)
+    a_id = np.asarray(hits.tri)
+    np.testing.assert_array_equal(a_id >= 0, c_id >= 0)
+    hit = c_id >= 0
+    assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
+
+
+def test_packet2_degenerate_and_tiny(setup):
+    scene, flat = setup
+    # Degenerate rays (tmax < 0, reference convention) never hit; a tiny
+    # batch exercises full padding.
+    o, d, tmin, tmax = _rays(scene, 64, seed=2)
+    tmax[::2] = -1.0
+    s_id, _, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), interpret=True)
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    assert np.all(np.asarray(hits.tri)[::2] == -1)

@@ -1,0 +1,444 @@
+"""Branch-free interleaved packet-traversal kernel (the TPU hot loop).
+
+Redesign of the reference's persistent-threads traversal
+(src/rt/kernels/kepler_dynamic_fetch.cu:66-411).  Four measured findings
+on v5e drive the architecture (tools/mosaic_probe*.py):
+
+1. **The scalar port saturates first.**  A traversal step that extracts
+   the 12 node bounds to scalars costs ~160 ns even with 8 packets in
+   flight; the same math with bounds kept as (S,1) sublane slices
+   lane-broadcast against (S,128) ray vectors costs ~28 ns.  So tables
+   are stored TRANSPOSED (record floats on sublanes) and no per-bound
+   vector->scalar move exists anywhere.
+
+2. **A single traversal chain is latency-bound** (~370 ns/step: fetch ->
+   span -> reduce -> next fetch cannot pipeline).  K independent packets
+   advance per loop iteration so their chains overlap — the TPU analogue
+   of persistent warps hiding latency, with the atomic work queue
+   replaced by a static packet->iteration assignment.
+
+3. **Branches defeat the interleave.**  One `lax.cond` around the step
+   doubles its cost (134 -> 261 ns measured): basic-block boundaries stop
+   the VLIW scheduler from overlapping the packets' chains.  The kernel
+   is therefore STRAIGHT-LINE: every iteration executes one masked node
+   step and U masked triangle tests per packet.  Leaves found during
+   traversal are not processed inline; they are pushed to a per-packet
+   SMEM ring queue and drained by the triangle units, so the traversal
+   stack holds only inner nodes and every select stays branchless.
+   (Deferring leaves relaxes strict near-first hit_t tightening; the
+   traversal stays correct because hit_t pruning is conservative.)
+
+4. **Packet votes replace per-lane ballots**: one masked min-reduction
+   per child doubles as the `vote.ballot` (kepler_dynamic_fetch.cu:
+   287-316) and the near-first ordering key.
+
+Layouts (built host-side by pack_tables2):
+- nodes3: (ceil(N/128), 16, 128) f32 — node n's record at
+  [n//128, :, n%128]: slots 0-11 the Compact2 child bounds
+  (CudaBVH.cc:270-357 ordering), slots 12/13 child links (int32 bits),
+  inner = child node index, leaf = ~(first | count<<24).
+- woop3: same transposition of the Woop triangle records
+  (CudaBVH.cc:361-380); hit rows remap through flat.tri_index.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpu_rt.core.types import FlatBVH, Hits, Rays
+
+# Rays per packet: (S, 128); K packets advance per iteration; U triangle
+# tests per packet per iteration (tri steps outnumber node steps ~2:1).
+# U=3/K=4/TILE=2048 measured best on v5e (sweep in tools/kbench.py).
+TILE = int(os.environ.get("TPU_RT_TILE2", 2048))
+K = int(os.environ.get("TPU_RT_K", 4))
+U = int(os.environ.get("TPU_RT_U", 3))
+assert TILE % 128 == 0
+S = TILE // 128
+STACK_DEPTH = 64
+QUEUE_DEPTH = 64
+SENT = np.int32(0x7FFFFFFF)
+OOEPS = np.float32(2.0**-80)
+COUNT_SHIFT = 24
+FIRST_MASK = (1 << COUNT_SHIFT) - 1
+MAX_LEAF = 8
+
+VMEM_TABLE_BUDGET = 12 * 1024 * 1024
+
+
+def pack_tables2(flat: FlatBVH):
+    """Transposed kernel tables (nodes3, woop3, tri_index2) or None if the
+    scene violates packing limits (count<=8 per leaf, refs < 2^24).
+
+    Leaf triangle runs are re-packed contiguously (never crossing a
+    128-lane block) so a leaf's triangles are consecutive records."""
+    nodes = np.array(np.asarray(flat.nodes), np.float32, copy=True)
+    links = np.ascontiguousarray(nodes[:, 12:16]).view(np.int32).copy()
+    woop = np.asarray(flat.tri_woop, np.float32)
+    tri_index = np.asarray(flat.tri_index, np.int32)
+    num_refs = woop.shape[0]
+    if num_refs >= (1 << COUNT_SHIFT):
+        return None
+
+    leaf_rows = []
+    for c in range(2):
+        for n in np.where(links[:, c] < 0)[0]:
+            first = ~links[n, c]
+            count = links[n, 2 + c]
+            if count > MAX_LEAF:
+                return None
+            leaf_rows.append((n, c, int(first), int(count)))
+
+    new_woop, new_tri_index = [], []
+    cursor = 0
+    for n, c, first, count in leaf_rows:
+        if (cursor % 128) + count > 128:
+            pad = 128 - (cursor % 128)
+            new_woop.append(np.zeros((pad, woop.shape[1]), np.float32))
+            new_tri_index.append(np.full(pad, -1, np.int32))
+            cursor += pad
+        links[n, c] = ~(cursor | (count << COUNT_SHIFT))
+        new_woop.append(woop[first:first + count])
+        new_tri_index.append(tri_index[first:first + count])
+        cursor += count
+    if cursor >= (1 << COUNT_SHIFT):
+        return None
+    woop2 = (np.concatenate(new_woop) if new_woop
+             else np.zeros((1, woop.shape[1]), np.float32))
+    tri_index2 = (np.concatenate(new_tri_index) if new_tri_index
+                  else np.full(1, -1, np.int32))
+    # Slot 12 of each Woop record carries the ORIGINAL triangle id
+    # (bit-pattern), so the kernel emits final ids directly and no
+    # hit-row remap gather is needed downstream.
+    woop16 = np.zeros((woop2.shape[0], 16), np.float32)
+    woop16[:, :woop2.shape[1]] = woop2
+    woop16[:, 12] = tri_index2.view(np.float32)
+    nodes[:, 12:16] = links.view(np.float32)
+
+    def transpose3(rows: np.ndarray) -> np.ndarray:
+        n = rows.shape[0]
+        padded = np.zeros((max(n, 1), 16), np.float32)
+        padded[:n, :rows.shape[1]] = rows[:, :16]
+        nb = -(-padded.shape[0] // 128)
+        full = np.zeros((nb * 128, 16), np.float32)
+        full[:padded.shape[0]] = padded
+        return np.ascontiguousarray(
+            full.reshape(nb, 128, 16).transpose(0, 2, 1))
+
+    return transpose3(nodes), transpose3(woop16)
+
+
+def tables2_fit_vmem(flat: FlatBVH) -> bool:
+    nodes_b = int(np.asarray(flat.nodes).shape[0]) * 64
+    woop_b = int(np.asarray(flat.tri_woop).shape[0]) * 64
+    return nodes_b + woop_b <= VMEM_TABLE_BUDGET
+
+
+def _fetch_col_block(table_ref, idx):
+    """Record `idx` from a transposed (NB,16,128) table, lane-rotated so
+    the record is lane 0: one dynamic-sublane block fetch + one rotate."""
+    blk = table_ref[idx // 128]  # (16,128)
+    return pltpu.roll(blk, -(idx % 128), axis=1)
+
+
+def _fetch_col(table_ref, idx):
+    """Record `idx` as a (16,1) column."""
+    return _fetch_col_block(table_ref, idx)[:, 0:1]
+
+
+def _kernel2(any_hit: bool,
+             nodes_ref, woop_ref,
+             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
+             hit_tri_ref, hit_t_ref, hit_u_ref, hit_v_ref,
+             stack_ref, queue_ref, ctx_ref):
+    # Precompute idir/ood per packet into VMEM scratch.  Nothing vector
+    # lives across loop iterations: the while state is 6 scalars per
+    # packet; every step loads what it needs from refs.  (Keeping K
+    # packets' ray context in registers spills: 14 vregs x 8 packets vs
+    # 64 physical vregs.)
+    for k in range(K):
+        dx, dy, dz = dx_ref[0, k], dy_ref[0, k], dz_ref[0, k]
+
+        def rcp_dir(d):
+            safe = jnp.where(jnp.abs(d) > OOEPS, d,
+                             jnp.where(d >= 0, OOEPS, -OOEPS))
+            return 1.0 / safe
+
+        idirx, idiry, idirz = rcp_dir(dx), rcp_dir(dy), rcp_dir(dz)
+        ctx_ref[k, 0] = idirx
+        ctx_ref[k, 1] = idiry
+        ctx_ref[k, 2] = idirz
+        ctx_ref[k, 3] = ox_ref[0, k] * idirx
+        ctx_ref[k, 4] = oy_ref[0, k] * idiry
+        ctx_ref[k, 5] = oz_ref[0, k] * idirz
+
+        tmax = tmax_ref[0, k]
+        hit_tri_ref[0, k] = jnp.full(tmax.shape, -1, jnp.int32)
+        hit_t_ref[0, k] = tmax
+        hit_u_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
+        hit_v_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
+
+    def start(k):
+        return jax.lax.select(jnp.any(tmax_ref[0, k] >= 0.0),
+                              jnp.int32(0), SENT)
+
+    # Per-packet scalar state: node (current INNER node or SENT), sp,
+    # tcur/tend (triangle cursor), qh/qt (leaf ring-queue bounds).
+    def cond(state):
+        nodes, sps, tcurs, tends, qhs, qts = state
+        alive = (nodes[0] != SENT) | (qhs[0] < qts[0]) | (tcurs[0] < tends[0])
+        for k in range(1, K):
+            alive = alive | (nodes[k] != SENT) | (qhs[k] < qts[k]) \
+                | (tcurs[k] < tends[k])
+        return alive
+
+    def body(state):
+        nodes, sps, tcurs, tends, qhs, qts = state
+        o_nodes, o_sps, o_tcurs, o_tends, o_qhs, o_qts = \
+            [], [], [], [], [], []
+        for k in range(K):
+            node, sp = nodes[k], sps[k]
+            tcur, tend = tcurs[k], tends[k]
+            qh, qt = qhs[k], qts[k]
+
+            # Padding rays carry tmax=-1, so hit_t starts at -1 and both
+            # the slab far-clamp and the t<hit_t test self-mask them; no
+            # separate `valid` vector is needed anywhere.
+            tmin = tmin_ref[0, k]
+            hit_t = hit_t_ref[0, k]
+            hit_tri = hit_tri_ref[0, k]
+            hit_u = hit_u_ref[0, k]
+            hit_v = hit_v_ref[0, k]
+
+            # ---------------- node unit (masked) ----------------
+            # Backpressure: stall traversal if the leaf queue could
+            # overflow (each step enqueues at most 2).
+            live = (node != SENT) & (qt - qh < QUEUE_DEPTH - 2)
+            nd = jnp.where(live, node, 0)
+            col = _fetch_col(nodes_ref, nd)              # (16,1)
+            crep = jnp.repeat(col, S, axis=0)            # (16*S,1)
+
+            def b(i):
+                return crep[S * i:S * (i + 1)]           # (S,1)
+
+            idirx, idiry, idirz = ctx_ref[k, 0], ctx_ref[k, 1], ctx_ref[k, 2]
+            oodx, oody, oodz = ctx_ref[k, 3], ctx_ref[k, 4], ctx_ref[k, 5]
+
+            def span(lox, hix, loy, hiy, loz, hiz):
+                tx0 = lox * idirx - oodx
+                tx1 = hix * idirx - oodx
+                ty0 = loy * idiry - oody
+                ty1 = hiy * idiry - oody
+                tz0 = loz * idirz - oodz
+                tz1 = hiz * idirz - oodz
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+                far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), hit_t))
+                return near, far
+
+            c0min, c0max = span(b(0), b(1), b(2), b(3), b(8), b(9))
+            c1min, c1max = span(b(4), b(5), b(6), b(7), b(10), b(11))
+
+            icol = jax.lax.bitcast_convert_type(col, jnp.int32)
+            link0 = icol[12, 0]
+            link1 = icol[13, 0]
+
+            big = jnp.float32(3.0e38)
+            near0 = jnp.min(jnp.where(c0max >= c0min, c0min, big))
+            near1 = jnp.min(jnp.where(c1max >= c1min, c1min, big))
+            any0 = live & (near0 < big)
+            any1 = live & (near1 < big)
+            swap = any0 & any1 & (near1 < near0)
+            first = jnp.where(swap, link1, jnp.where(any0, link0, link1))
+            second = jnp.where(swap, link0, link1)
+            hit_first = any0 | any1
+            hit_second = any0 & any1
+            first_leaf = first < 0
+            second_leaf = second < 0
+
+            # Leaves go to the ring queue (up to 2 masked SMEM writes).
+            enq_a = hit_first & first_leaf
+            enq_b = hit_second & second_leaf
+            w0 = qt % QUEUE_DEPTH
+            queue_ref[k, w0] = jnp.where(enq_a, first, queue_ref[k, w0])
+            w1 = (qt + enq_a.astype(jnp.int32)) % QUEUE_DEPTH
+            queue_ref[k, w1] = jnp.where(enq_b, second, queue_ref[k, w1])
+            qt = qt + enq_a.astype(jnp.int32) + enq_b.astype(jnp.int32)
+
+            # Inner second child goes to the stack (masked write).
+            push = hit_second & ~second_leaf
+            sp_w = jnp.minimum(sp, STACK_DEPTH - 1)
+            stack_ref[k, sp_w] = jnp.where(push, second, stack_ref[k, sp_w])
+            sp = sp + push.astype(jnp.int32)
+
+            # Next node: inner first child, else pop (stack holds only
+            # inner nodes), else SENT.
+            go_first = hit_first & ~first_leaf
+            need_pop = live & ~go_first
+            can_pop = need_pop & (sp > 0)
+            sp_after = sp - can_pop.astype(jnp.int32)
+            popped = stack_ref[k, jnp.clip(sp_after, 0, STACK_DEPTH - 1)]
+            node = jnp.where(
+                live,
+                jnp.where(go_first, first,
+                          jnp.where(can_pop, popped, SENT)),
+                node)
+            sp = sp_after
+
+            # ---------------- leaf refill (masked) ----------------
+            want = tcur >= tend
+            can = want & (qh < qt)
+            enc = queue_ref[k, qh % QUEUE_DEPTH]
+            dec = ~enc
+            lfirst = dec & FIRST_MASK
+            lcount = (dec >> COUNT_SHIFT) & 0xFF
+            tcur = jnp.where(can, lfirst, tcur)
+            tend = jnp.where(can, lfirst + lcount, tend)
+            qh = qh + can.astype(jnp.int32)
+
+            # ---------------- triangle units (masked) ----------------
+            # One fetch+rotate serves all U units: a leaf's triangles are
+            # lane-adjacent (pack_tables2 alignment), so unit u reads the
+            # static lane u of the rotated block.
+            ox, oy, oz = ox_ref[0, k], oy_ref[0, k], oz_ref[0, k]
+            dx, dy, dz = dx_ref[0, k], dy_ref[0, k], dz_ref[0, k]
+            have0 = tcur < tend
+            wblk = _fetch_col_block(woop_ref, jnp.where(have0, tcur, 0))
+            for uu in range(U):
+                have = (tcur + uu) < tend
+                wrep = jnp.repeat(wblk[:, uu:uu + 1], S, axis=0)  # (16*S,1)
+
+                def c(i):
+                    return wrep[S * i:S * (i + 1)]
+
+                oz_t = c(3) - ox * c(0) - oy * c(1) - oz * c(2)
+                dz_t = dx * c(0) + dy * c(1) + dz * c(2)
+                t = oz_t / dz_t
+                ox_t = c(7) + ox * c(4) + oy * c(5) + oz * c(6)
+                dx_t = dx * c(4) + dy * c(5) + dz * c(6)
+                u = ox_t + t * dx_t
+                oy_t = c(11) + ox * c(8) + oy * c(9) + oz * c(10)
+                dy_t = dx * c(8) + dy * c(9) + dz * c(10)
+                v = oy_t + t * dy_t
+
+                if any_hit:
+                    ok = hit_tri < 0
+                else:
+                    ok = jnp.bool_(True)
+                ok = (ok & have & (t > tmin) & (t < hit_t)
+                      & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+                tid = jax.lax.bitcast_convert_type(
+                    wrep, jnp.int32)[12 * S:13 * S]      # (S,1) orig tri id
+                hit_t = jnp.where(ok, t, hit_t)
+                hit_tri = jnp.where(ok, tid, hit_tri)
+                hit_u = jnp.where(ok, u, hit_u)
+                hit_v = jnp.where(ok, v, hit_v)
+            tcur = jnp.minimum(tcur + U, tend)
+            tcur = jnp.where(have0, tcur, tcurs[k])
+
+            hit_t_ref[0, k] = hit_t
+            hit_tri_ref[0, k] = hit_tri
+            hit_u_ref[0, k] = hit_u
+            hit_v_ref[0, k] = hit_v
+
+            if any_hit:
+                # Retire the packet once every valid ray has a hit.
+                undecided = jnp.any((tmax_ref[0, k] >= 0.0) & (hit_tri < 0))
+                node = jnp.where(undecided, node, SENT)
+                qh = jnp.where(undecided, qh, qt)
+                tcur = jnp.where(undecided, tcur, tend)
+
+            o_nodes.append(node)
+            o_sps.append(sp)
+            o_tcurs.append(tcur)
+            o_tends.append(tend)
+            o_qhs.append(qh)
+            o_qts.append(qt)
+        return (tuple(o_nodes), tuple(o_sps), tuple(o_tcurs),
+                tuple(o_tends), tuple(o_qhs), tuple(o_qts))
+
+    zeros = tuple(jnp.int32(0) for _ in range(K))
+    jax.lax.while_loop(
+        cond, body,
+        (tuple(start(k) for k in range(K)), zeros, zeros, zeros,
+         zeros, zeros))
+
+
+@partial(jax.jit, static_argnames=("any_hit", "interpret"))
+def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, interpret: bool):
+    n = rays.origin.shape[0]
+    block = K * TILE
+    t = max(1, -(-n // block))
+    pad = t * block - n
+
+    def prep(x, fill):
+        x = x.astype(jnp.float32)
+        if pad:
+            x = jnp.concatenate([x, jnp.full((pad,), fill, jnp.float32)])
+        return x.reshape(t, K, S, 128)
+
+    rays8 = [
+        prep(rays.origin[:, 0], 0.0), prep(rays.origin[:, 1], 0.0),
+        prep(rays.origin[:, 2], 0.0),
+        prep(rays.dirn[:, 0], 1.0), prep(rays.dirn[:, 1], 0.0),
+        prep(rays.dirn[:, 2], 0.0),
+        prep(rays.tmin, 0.0), prep(rays.tmax, -1.0),
+    ]
+    ray_spec = pl.BlockSpec((1, K, S, 128), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((t, K, S, 128), jnp.int32),
+        jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32),
+        jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32),
+        jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32),
+    ]
+    hit_tri, hit_t, hit_u, hit_v = pl.pallas_call(
+        partial(_kernel2, any_hit),
+        grid=(t,),
+        in_specs=[table_spec, table_spec] + [ray_spec] * 8,
+        out_specs=[ray_spec] * 4,
+        out_shape=out_shape,
+        scratch_shapes=[pltpu.SMEM((K, STACK_DEPTH), jnp.int32),
+                        pltpu.SMEM((K, QUEUE_DEPTH), jnp.int32),
+                        pltpu.VMEM((K, 6, S, 128), jnp.float32)],
+        interpret=interpret,
+    )(nodes3, woop3, *rays8)
+
+    return Hits(tri=hit_tri.reshape(-1)[:n], t=hit_t.reshape(-1)[:n],
+                u=hit_u.reshape(-1)[:n], v=hit_v.reshape(-1)[:n])
+
+
+def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
+                  tables=None, interpret: bool = False) -> Hits:
+    """Trace rays with the branch-free interleaved-packet kernel.
+
+    tables: optional pre-packed (nodes3, woop3) from prepare_tables2
+    (device-resident) to skip per-call packing.
+    """
+    if tables is None:
+        tables = prepare_tables2(flat)
+        if tables is None:
+            raise ValueError("scene exceeds packet2 packing limits")
+    nodes3, woop3 = tables
+    return _trace2_jit(nodes3, woop3, rays, any_hit, interpret)
+
+
+def prepare_tables2(flat: FlatBVH):
+    """Device-resident kernel tables (nodes3, woop3) or None if the scene
+    exceeds packing limits."""
+    packed = pack_tables2(flat)
+    if packed is None:
+        return None
+    return tuple(jnp.asarray(a) for a in packed)
