@@ -69,11 +69,12 @@ def main() -> None:
 
     tracer = os.environ.get("BENCH_TRACER", "auto")
     tables = None
-    if tracer in ("auto", "pallas") and tables2_fit_vmem(flat):
+    hbm = not tables2_fit_vmem(flat)
+    if tracer in ("auto", "pallas"):
         tables = prepare_tables2(flat)
         if tables is not None:
-            tracer = "pallas"
-    if tracer != "pallas":
+            tracer = "pallas-hbm" if hbm else "pallas"
+    if tables is None:
         tracer = "xla"
 
     if RAY_TYPE != "primary":
@@ -100,8 +101,8 @@ def main() -> None:
         # readback does.  Chaining amortizes both.
         acc = jnp.int32(0)
         for _ in range(repeats):
-            if tracer == "pallas":
-                hits = trace_packet2(flat, rays, any_hit=any_hit, tables=tables)
+            if tracer.startswith("pallas"):
+                hits = trace_packet2(flat, rays, any_hit=any_hit, tables=tables, hbm=hbm)
             else:
                 hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
             acc = acc + jnp.sum(hits.tri)

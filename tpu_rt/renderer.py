@@ -104,19 +104,18 @@ class Renderer:
         return self._dbvh
 
     def _select_tracer(self) -> None:
-        from tpu_rt.trace.pallas_tracer import pack_kernel_tables, tables_fit_vmem
+        from tpu_rt.trace.packet2 import prepare_tables2, tables2_fit_vmem
 
         choice = self.params.tracer
         self._packet_tables = None
+        self._packet_hbm = not tables2_fit_vmem(self.flat)
         if choice == "xla":
             self.active_tracer = "xla"
             return
         on_tpu = jax.default_backend() == "tpu"
-        want_pallas = choice == "pallas" or (choice == "auto" and on_tpu)
-        if want_pallas and tables_fit_vmem(self.flat):
-            packed = pack_kernel_tables(self.flat)
-            if packed is not None:
-                self._packet_tables = (jnp.asarray(packed[0]), jnp.asarray(packed[1]))
+        if choice == "pallas" or (choice == "auto" and on_tpu):
+            self._packet_tables = prepare_tables2(self.flat)
+            if self._packet_tables is not None:
                 self.active_tracer = "pallas"
                 return
         if choice == "pallas":
@@ -151,9 +150,10 @@ class Renderer:
         jax.block_until_ready(rays)
         t0 = time.perf_counter()
         if self.active_tracer == "pallas":
-            from tpu_rt.trace.pallas_tracer import trace_packet_pallas
+            from tpu_rt.trace.packet2 import trace_packet2
 
-            hits = trace_packet_pallas(self.flat, rays, any_hit=any_hit, tables=self._packet_tables)
+            hits = trace_packet2(self.flat, rays, any_hit=any_hit,
+                                 tables=self._packet_tables, hbm=self._packet_hbm)
         else:
             hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
         # Device-scalar fence: block_until_ready does not reliably fence on

@@ -154,11 +154,11 @@ def _fetch_col(table_ref, idx):
     return _fetch_col_block(table_ref, idx)[:, 0:1]
 
 
-def _kernel2(any_hit: bool,
+def _kernel2(any_hit: bool, hbm: bool,
              nodes_ref, woop_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
              hit_tri_ref, hit_t_ref, hit_u_ref, hit_v_ref,
-             stack_ref, queue_ref, ctx_ref):
+             stack_ref, queue_ref, ctx_ref, node_scr, tri_scr, nsem, tsem):
     # Precompute idir/ood per packet into VMEM scratch.  Nothing vector
     # lives across loop iterations: the while state is 6 scalars per
     # packet; every step loads what it needs from refs.  (Keeping K
@@ -190,6 +190,34 @@ def _kernel2(any_hit: bool,
         return jax.lax.select(jnp.any(tmax_ref[0, k] >= 0.0),
                               jnp.int32(0), SENT)
 
+    # Prefetch-descriptor helpers (HBM mode).  Both are pure functions of
+    # the carried state so the DMA issued at the end of one iteration and
+    # the wait at the start of the next describe the same transfer.
+    def node_fetch_idx(node):
+        return jnp.where(node == SENT, 0, node)
+
+    def tri_fetch_idx(k, tcur, tend, qh, qt):
+        # Next triangle to test: the current cursor, else the first
+        # triangle of the leaf at the queue head (the next refill), else 0.
+        enc = queue_ref[k, qh % QUEUE_DEPTH]
+        nxt_first = (~enc) & FIRST_MASK
+        return jnp.where(tcur < tend, tcur,
+                         jnp.where(qh < qt, nxt_first, 0))
+
+    def node_copy(k, node):
+        return pltpu.make_async_copy(
+            nodes_ref.at[node_fetch_idx(node) // 128],
+            node_scr.at[k], nsem.at[k])
+
+    def tri_copy(k, ti):
+        return pltpu.make_async_copy(
+            woop_ref.at[ti // 128], tri_scr.at[k], tsem.at[k])
+
+    if hbm:
+        for k in range(K):
+            node_copy(k, start(k)).start()
+            tri_copy(k, jnp.int32(0)).start()
+
     # Per-packet scalar state: node (current INNER node or SENT), sp,
     # tcur/tend (triangle cursor), qh/qt (leaf ring-queue bounds).
     def cond(state):
@@ -209,6 +237,10 @@ def _kernel2(any_hit: bool,
             tcur, tend = tcurs[k], tends[k]
             qh, qt = qhs[k], qts[k]
 
+            # The prefetched triangle position (must mirror the refill
+            # decision below exactly; computed from pre-refill state).
+            tpos = tri_fetch_idx(k, tcur, tend, qh, qt)
+
             # Padding rays carry tmax=-1, so hit_t starts at -1 and both
             # the slab far-clamp and the t<hit_t test self-mask them; no
             # separate `valid` vector is needed anywhere.
@@ -218,12 +250,30 @@ def _kernel2(any_hit: bool,
             hit_u = hit_u_ref[0, k]
             hit_v = hit_v_ref[0, k]
 
+            # ---------------- leaf refill (masked) ----------------
+            # Runs FIRST so the triangle prefetch issued last iteration
+            # (which peeked at the queue head) matches the cursor.
+            want = tcur >= tend
+            can = want & (qh < qt)
+            enc = queue_ref[k, qh % QUEUE_DEPTH]
+            dec = ~enc
+            lfirst = dec & FIRST_MASK
+            lcount = (dec >> COUNT_SHIFT) & 0xFF
+            tcur = jnp.where(can, lfirst, tcur)
+            tend = jnp.where(can, lfirst + lcount, tend)
+            qh = qh + can.astype(jnp.int32)
+
             # ---------------- node unit (masked) ----------------
             # Backpressure: stall traversal if the leaf queue could
             # overflow (each step enqueues at most 2).
             live = (node != SENT) & (qt - qh < QUEUE_DEPTH - 2)
-            nd = jnp.where(live, node, 0)
-            col = _fetch_col(nodes_ref, nd)              # (16,1)
+            nd = node_fetch_idx(node)
+            if hbm:
+                node_copy(k, node).wait()
+                nblk = node_scr[k]                       # (16,128)
+            else:
+                nblk = nodes_ref[nd // 128]
+            col = pltpu.roll(nblk, -(nd % 128), axis=1)[:, 0:1]  # (16,1)
             crep = jnp.repeat(col, S, axis=0)            # (16*S,1)
 
             def b(i):
@@ -296,25 +346,18 @@ def _kernel2(any_hit: bool,
                 node)
             sp = sp_after
 
-            # ---------------- leaf refill (masked) ----------------
-            want = tcur >= tend
-            can = want & (qh < qt)
-            enc = queue_ref[k, qh % QUEUE_DEPTH]
-            dec = ~enc
-            lfirst = dec & FIRST_MASK
-            lcount = (dec >> COUNT_SHIFT) & 0xFF
-            tcur = jnp.where(can, lfirst, tcur)
-            tend = jnp.where(can, lfirst + lcount, tend)
-            qh = qh + can.astype(jnp.int32)
-
             # ---------------- triangle units (masked) ----------------
             # One fetch+rotate serves all U units: a leaf's triangles are
             # lane-adjacent (pack_tables2 alignment), so unit u reads the
             # static lane u of the rotated block.
             ox, oy, oz = ox_ref[0, k], oy_ref[0, k], oz_ref[0, k]
             dx, dy, dz = dx_ref[0, k], dy_ref[0, k], dz_ref[0, k]
-            have0 = tcur < tend
-            wblk = _fetch_col_block(woop_ref, jnp.where(have0, tcur, 0))
+            if hbm:
+                tri_copy(k, tpos).wait()
+                tblk0 = tri_scr[k]
+            else:
+                tblk0 = woop_ref[tpos // 128]
+            wblk = pltpu.roll(tblk0, -(tpos % 128), axis=1)
             for uu in range(U):
                 have = (tcur + uu) < tend
                 wrep = jnp.repeat(wblk[:, uu:uu + 1], S, axis=0)  # (16*S,1)
@@ -344,8 +387,10 @@ def _kernel2(any_hit: bool,
                 hit_tri = jnp.where(ok, tid, hit_tri)
                 hit_u = jnp.where(ok, u, hit_u)
                 hit_v = jnp.where(ok, v, hit_v)
+            have0 = tcur < tend
             tcur = jnp.minimum(tcur + U, tend)
             tcur = jnp.where(have0, tcur, tcurs[k])
+            tcur = jnp.where(can, jnp.minimum(lfirst + U, tend), tcur)
 
             hit_t_ref[0, k] = hit_t
             hit_tri_ref[0, k] = hit_tri
@@ -359,6 +404,10 @@ def _kernel2(any_hit: bool,
                 qh = jnp.where(undecided, qh, qt)
                 tcur = jnp.where(undecided, tcur, tend)
 
+            if hbm:
+                node_copy(k, node).start()
+                tri_copy(k, tri_fetch_idx(k, tcur, tend, qh, qt)).start()
+
             o_nodes.append(node)
             o_sps.append(sp)
             o_tcurs.append(tcur)
@@ -369,14 +418,21 @@ def _kernel2(any_hit: bool,
                 tuple(o_tends), tuple(o_qhs), tuple(o_qts))
 
     zeros = tuple(jnp.int32(0) for _ in range(K))
-    jax.lax.while_loop(
+    final = jax.lax.while_loop(
         cond, body,
         (tuple(start(k) for k in range(K)), zeros, zeros, zeros,
          zeros, zeros))
+    if hbm:
+        nodes_f, _, tcurs_f, tends_f, qhs_f, qts_f = final
+        for k in range(K):
+            node_copy(k, nodes_f[k]).wait()
+            tri_copy(k, tri_fetch_idx(k, tcurs_f[k], tends_f[k],
+                                      qhs_f[k], qts_f[k])).wait()
 
 
-@partial(jax.jit, static_argnames=("any_hit", "interpret"))
-def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, interpret: bool):
+@partial(jax.jit, static_argnames=("any_hit", "hbm", "interpret"))
+def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
+                interpret: bool):
     n = rays.origin.shape[0]
     block = K * TILE
     t = max(1, -(-n // block))
@@ -397,7 +453,8 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, interpret: bool):
     ]
     ray_spec = pl.BlockSpec((1, K, S, 128), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    table_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    table_space = pltpu.ANY if hbm else pltpu.VMEM
+    table_spec = pl.BlockSpec(memory_space=table_space)
     out_shape = [
         jax.ShapeDtypeStruct((t, K, S, 128), jnp.int32),
         jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32),
@@ -405,14 +462,18 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, interpret: bool):
         jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32),
     ]
     hit_tri, hit_t, hit_u, hit_v = pl.pallas_call(
-        partial(_kernel2, any_hit),
+        partial(_kernel2, any_hit, hbm),
         grid=(t,),
         in_specs=[table_spec, table_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((K, STACK_DEPTH), jnp.int32),
                         pltpu.SMEM((K, QUEUE_DEPTH), jnp.int32),
-                        pltpu.VMEM((K, 6, S, 128), jnp.float32)],
+                        pltpu.VMEM((K, 6, S, 128), jnp.float32),
+                        pltpu.VMEM((K, 16, 128), jnp.float32),
+                        pltpu.VMEM((K, 16, 128), jnp.float32),
+                        pltpu.SemaphoreType.DMA((K,)),
+                        pltpu.SemaphoreType.DMA((K,))],
         interpret=interpret,
     )(nodes3, woop3, *rays8)
 
@@ -421,18 +482,24 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, interpret: bool):
 
 
 def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
-                  tables=None, interpret: bool = False) -> Hits:
+                  tables=None, hbm: bool | None = None,
+                  interpret: bool = False) -> Hits:
     """Trace rays with the branch-free interleaved-packet kernel.
 
     tables: optional pre-packed (nodes3, woop3) from prepare_tables2
     (device-resident) to skip per-call packing.
+    hbm: keep tables HBM-resident and stream blocks by per-packet
+    double-buffered DMA (for scenes whose tables exceed VMEM); default
+    auto-selects by table size.
     """
+    if hbm is None:
+        hbm = not tables2_fit_vmem(flat)
     if tables is None:
         tables = prepare_tables2(flat)
         if tables is None:
             raise ValueError("scene exceeds packet2 packing limits")
     nodes3, woop3 = tables
-    return _trace2_jit(nodes3, woop3, rays, any_hit, interpret)
+    return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret)
 
 
 def prepare_tables2(flat: FlatBVH):
