@@ -57,12 +57,13 @@ from tpu_rt.core.types import FlatBVH, Hits, Rays
 
 # Rays per packet: (S, 128); K packets advance per iteration; U triangle
 # tests per packet per iteration (tri steps outnumber node steps ~2:1).
-# U=3/K=4/TILE=2048 measured best on v5e (sweep in tools/kbench.py).
+# Defaults come from env; all three are per-call static config so sweeps
+# (tools/sweep2.py) run in-process.  U=3/K=4/TILE=2048 measured best on
+# v5e for VMEM-resident tables.
 TILE = int(os.environ.get("TPU_RT_TILE2", 2048))
 K = int(os.environ.get("TPU_RT_K", 4))
 U = int(os.environ.get("TPU_RT_U", 3))
 assert TILE % 128 == 0
-S = TILE // 128
 STACK_DEPTH = 64
 QUEUE_DEPTH = 64
 SENT = np.int32(0x7FFFFFFF)
@@ -121,6 +122,23 @@ def pack_tables2(flat: FlatBVH):
     woop16 = np.zeros((woop2.shape[0], 16), np.float32)
     woop16[:, :woop2.shape[1]] = woop2
     woop16[:, 12] = tri_index2.view(np.float32)
+    # Slot 14 (free once counts are folded into the links) encodes the
+    # traversal-order hint: split axis = argmax child-center separation,
+    # bit 2 = "child0 is on the lower side".  The kernel orders children
+    # by packet direction sign vs this hint — no float min-reduction of
+    # entry distances is needed (kepler_dynamic_fetch.cu:304-308 compares
+    # per-lane c0min/c1min instead; a packet only has one shared cursor).
+    c0 = np.stack([(nodes[:, 0] + nodes[:, 1]),
+                   (nodes[:, 2] + nodes[:, 3]),
+                   (nodes[:, 8] + nodes[:, 9])], axis=1)
+    c1 = np.stack([(nodes[:, 4] + nodes[:, 5]),
+                   (nodes[:, 6] + nodes[:, 7]),
+                   (nodes[:, 10] + nodes[:, 11])], axis=1)
+    sep = c1 - c0
+    axis = np.argmax(np.abs(sep), axis=1).astype(np.int32)
+    c0_lower = (np.take_along_axis(sep, axis[:, None], 1)[:, 0]
+                >= 0).astype(np.int32)
+    links[:, 2] = axis | (c0_lower << 2)
     nodes[:, 12:16] = links.view(np.float32)
 
     def transpose3(rows: np.ndarray) -> np.ndarray:
@@ -154,11 +172,12 @@ def _fetch_col(table_ref, idx):
     return _fetch_col_block(table_ref, idx)[:, 0:1]
 
 
-def _kernel2(any_hit: bool, hbm: bool,
+def _kernel2(any_hit: bool, hbm: bool, K: int, S: int, U: int,
              nodes_ref, woop_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
              hit_tri_ref, hit_t_ref, hit_u_ref, hit_v_ref,
-             stack_ref, queue_ref, ctx_ref, node_scr, tri_scr, nsem, tsem):
+             stack_ref, queue_ref, ctx_ref, dsign_ref, node_scr, tri_scr,
+             nsem, tsem):
     # Precompute idir/ood per packet into VMEM scratch.  Nothing vector
     # lives across loop iterations: the while state is 6 scalars per
     # packet; every step loads what it needs from refs.  (Keeping K
@@ -185,6 +204,12 @@ def _kernel2(any_hit: bool, hbm: bool,
         hit_t_ref[0, k] = tmax
         hit_u_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
         hit_v_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
+
+        # Packet direction-sign bits (near-first ordering key): bit a set
+        # iff the packet's mean direction is positive along axis a.
+        dsign_ref[k, 0] = ((jnp.sum(dx) >= 0).astype(jnp.int32)
+                           | ((jnp.sum(dy) >= 0).astype(jnp.int32) << 1)
+                           | ((jnp.sum(dz) >= 0).astype(jnp.int32) << 2))
 
     def start(k):
         return jax.lax.select(jnp.any(tmax_ref[0, k] >= 0.0),
@@ -304,16 +329,25 @@ def _kernel2(any_hit: bool, hbm: bool,
             link0 = icol[12, 0]
             link1 = icol[13, 0]
 
-            big = jnp.float32(3.0e38)
-            near0 = jnp.min(jnp.where(c0max >= c0min, c0min, big))
-            near1 = jnp.min(jnp.where(c1max >= c1min, c1min, big))
-            any0 = live & (near0 < big)
-            any1 = live & (near1 < big)
-            swap = any0 & any1 & (near1 < near0)
-            first = jnp.where(swap, link1, jnp.where(any0, link0, link1))
-            second = jnp.where(swap, link0, link1)
-            hit_first = any0 | any1
-            hit_second = any0 & any1
+            # Child order from the stored split-axis hint vs the packet's
+            # direction sign — known as soon as the record is fetched, so
+            # the only reductions on the decision chain are two
+            # independent boolean ANY votes (vs two float min-reductions
+            # plus a compare).
+            enc = icol[14, 0]
+            c0low = (enc >> 2) & 1
+            dirpos = (dsign_ref[k, 0] >> (enc & 3)) & 1
+            swap = (dirpos ^ c0low) != 0
+            lnk_a = jnp.where(swap, link1, link0)
+            lnk_b = jnp.where(swap, link0, link1)
+            any0 = live & jnp.any(c0max >= c0min)
+            any1 = live & jnp.any(c1max >= c1min)
+            hit_a = jnp.where(swap, any1, any0)
+            hit_b = jnp.where(swap, any0, any1)
+            first = jnp.where(hit_a, lnk_a, lnk_b)
+            second = lnk_b
+            hit_first = hit_a | hit_b
+            hit_second = hit_a & hit_b
             first_leaf = first < 0
             second_leaf = second < 0
 
@@ -430,11 +464,12 @@ def _kernel2(any_hit: bool, hbm: bool,
                                       qhs_f[k], qts_f[k])).wait()
 
 
-@partial(jax.jit, static_argnames=("any_hit", "hbm", "interpret"))
+@partial(jax.jit, static_argnames=("any_hit", "hbm", "interpret",
+                                   "K", "S", "U"))
 def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
-                interpret: bool):
+                interpret: bool, K: int, S: int, U: int):
     n = rays.origin.shape[0]
-    block = K * TILE
+    block = K * S * 128
     t = max(1, -(-n // block))
     pad = t * block - n
 
@@ -462,7 +497,7 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
         jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32),
     ]
     hit_tri, hit_t, hit_u, hit_v = pl.pallas_call(
-        partial(_kernel2, any_hit, hbm),
+        partial(_kernel2, any_hit, hbm, K, S, U),
         grid=(t,),
         in_specs=[table_spec, table_spec] + [ray_spec] * 8,
         out_specs=[ray_spec] * 4,
@@ -470,6 +505,7 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
         scratch_shapes=[pltpu.SMEM((K, STACK_DEPTH), jnp.int32),
                         pltpu.SMEM((K, QUEUE_DEPTH), jnp.int32),
                         pltpu.VMEM((K, 6, S, 128), jnp.float32),
+                        pltpu.SMEM((K, 1), jnp.int32),
                         pltpu.VMEM((K, 16, 128), jnp.float32),
                         pltpu.VMEM((K, 16, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((K,)),
@@ -483,7 +519,8 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
 
 def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
                   tables=None, hbm: bool | None = None,
-                  interpret: bool = False) -> Hits:
+                  interpret: bool = False, tile: int | None = None,
+                  k: int | None = None, u: int | None = None) -> Hits:
     """Trace rays with the branch-free interleaved-packet kernel.
 
     tables: optional pre-packed (nodes3, woop3) from prepare_tables2
@@ -491,6 +528,8 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
     hbm: keep tables HBM-resident and stream blocks by per-packet
     double-buffered DMA (for scenes whose tables exceed VMEM); default
     auto-selects by table size.
+    tile/k/u: packet size, interleave width, triangle units (defaults
+    from TPU_RT_TILE2 / TPU_RT_K / TPU_RT_U env).
     """
     if hbm is None:
         hbm = not tables2_fit_vmem(flat)
@@ -499,7 +538,11 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
         if tables is None:
             raise ValueError("scene exceeds packet2 packing limits")
     nodes3, woop3 = tables
-    return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret)
+    tile = TILE if tile is None else tile
+    assert tile % 128 == 0
+    return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret,
+                       K if k is None else k, tile // 128,
+                       U if u is None else u)
 
 
 def prepare_tables2(flat: FlatBVH):
