@@ -102,7 +102,8 @@ def main() -> None:
         acc = jnp.int32(0)
         for _ in range(repeats):
             if tracer.startswith("pallas"):
-                hits = trace_packet2(flat, rays, any_hit=any_hit, tables=tables, hbm=hbm)
+                hits = trace_packet2(flat, rays, any_hit=any_hit, tables=tables,
+                                     hbm=hbm, want_uv=False)
             else:
                 hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
             acc = acc + jnp.sum(hits.tri)

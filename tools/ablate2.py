@@ -54,7 +54,7 @@ def make_kernel(level):
                     icol = jax.lax.bitcast_convert_type(col, jnp.int32)
                     link0 = icol[12, 0]
                     link1 = icol[13, 0]
-                    nxt = nxt + (link0 & 0)
+                    nxt = nxt + (link0 % 3) - (link0 % 3)
                 if level >= 2:
                     crep = jnp.repeat(col, S, axis=0)
 
@@ -105,13 +105,13 @@ def make_kernel(level):
                     qw = node % QUEUE_DEPTH
                     queue_ref[k, qw] = jnp.where(any1, link1, queue_ref[k, qw])
                     qr = queue_ref[k, (node + 1) % QUEUE_DEPTH]
-                    nxt = nxt + ((popped + qr) & 0)
+                    nxt = nxt + ((popped + qr) % 3) - ((popped + qr) % 3)
                 if level >= 6:
                     ti = (node * 7) % (wb * 128)
                     tblk = woop_ref[ti // 128]
                     wblk = pltpu.roll(tblk, -(ti % 128), axis=1)
-                    nxt = nxt + (jax.lax.bitcast_convert_type(
-                        wblk, jnp.int32)[12, 0] & 0)
+                    tw = jax.lax.bitcast_convert_type(wblk, jnp.int32)[12, 0]
+                    nxt = nxt + (tw % 3) - (tw % 3)
                 if level >= 7:
                     ox = rays_ref[0, k, 0]
                     oy = rays_ref[0, k, 1]
@@ -136,13 +136,34 @@ def make_kernel(level):
                         ok = (t > 0.0) & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
                         hh = jnp.where(ok, t, hh)
                     acc = hh
+                if level >= 8:
+                    ht = ctx_ref[k, 0]
+                    htri = jax.lax.bitcast_convert_type(ctx_ref[k, 1], jnp.int32)
+                    ok2 = acc > 0.5
+                    ctx_ref[k, 0] = jnp.where(ok2, acc, ht)
+                    ctx_ref[k, 1] = jax.lax.bitcast_convert_type(
+                        jnp.where(ok2, htri + 1, htri), jnp.float32)
                 o_accs.append(acc)
                 o_nodes.append(nxt)
             return tuple(o_accs), tuple(o_nodes)
 
         init = (tuple(rays_ref[0, k, 6] for k in range(K)),
                 tuple(jnp.int32(k) for k in range(K)))
-        accs, nodes = jax.lax.fori_loop(0, NITER, body, init)
+        if level >= 9:
+            def wbody(state):
+                accs, nodes = body(0, state)
+                return accs, nodes
+
+            def wcond(state):
+                accs, nodes = state
+                alive = nodes[0] < NITER
+                for k in range(1, K):
+                    alive = alive | (nodes[k] < NITER)
+                return alive
+
+            accs, nodes = jax.lax.while_loop(wcond, wbody, init)
+        else:
+            accs, nodes = jax.lax.fori_loop(0, NITER, body, init)
         for k in range(K):
             out_ref[0, k] = accs[k] + nodes[k].astype(jnp.float32)
 
@@ -188,7 +209,7 @@ def main() -> None:
 
     base = NITER
     prev = 0.0
-    for level in range(8):
+    for level in range(10):
         t_small = timed(level, base)
         t_big = timed(level, base * 5)
         ns = (t_big - t_small) / (4 * base) * 1e9

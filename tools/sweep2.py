@@ -75,7 +75,7 @@ def main() -> None:
                 for _ in range(reps):
                     h = trace_packet2(flat, rays, any_hit=any_hit,
                                       tables=tables, hbm=hbm,
-                                      tile=tile, k=k, u=u)
+                                      tile=tile, k=k, u=u, want_uv=False)
                     acc = acc + jnp.sum(h.tri)
                 return int(acc)
 

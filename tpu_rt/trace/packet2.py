@@ -172,12 +172,19 @@ def _fetch_col(table_ref, idx):
     return _fetch_col_block(table_ref, idx)[:, 0:1]
 
 
-def _kernel2(any_hit: bool, hbm: bool, K: int, S: int, U: int,
+def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, K: int, S: int, U: int,
              nodes_ref, woop_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
-             hit_tri_ref, hit_t_ref, hit_u_ref, hit_v_ref,
-             stack_ref, queue_ref, ctx_ref, dsign_ref, node_scr, tri_scr,
-             nsem, tsem):
+             *rest):
+    if want_uv:
+        (hit_tri_ref, hit_t_ref, hit_u_ref, hit_v_ref,
+         stack_ref, queue_ref, ctx_ref, dsign_ref, node_scr, tri_scr,
+         nsem, tsem) = rest
+    else:
+        (hit_tri_ref, hit_t_ref,
+         stack_ref, queue_ref, ctx_ref, dsign_ref, node_scr, tri_scr,
+         nsem, tsem) = rest
+        hit_u_ref = hit_v_ref = None
     # Precompute idir/ood per packet into VMEM scratch.  Nothing vector
     # lives across loop iterations: the while state is 6 scalars per
     # packet; every step loads what it needs from refs.  (Keeping K
@@ -202,8 +209,9 @@ def _kernel2(any_hit: bool, hbm: bool, K: int, S: int, U: int,
         tmax = tmax_ref[0, k]
         hit_tri_ref[0, k] = jnp.full(tmax.shape, -1, jnp.int32)
         hit_t_ref[0, k] = tmax
-        hit_u_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
-        hit_v_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
+        if want_uv:
+            hit_u_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
+            hit_v_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
 
         # Packet direction-sign bits (near-first ordering key): bit a set
         # iff the packet's mean direction is positive along axis a.
@@ -272,8 +280,9 @@ def _kernel2(any_hit: bool, hbm: bool, K: int, S: int, U: int,
             tmin = tmin_ref[0, k]
             hit_t = hit_t_ref[0, k]
             hit_tri = hit_tri_ref[0, k]
-            hit_u = hit_u_ref[0, k]
-            hit_v = hit_v_ref[0, k]
+            if want_uv:
+                hit_u = hit_u_ref[0, k]
+                hit_v = hit_v_ref[0, k]
 
             # ---------------- leaf refill (masked) ----------------
             # Runs FIRST so the triangle prefetch issued last iteration
@@ -351,19 +360,22 @@ def _kernel2(any_hit: bool, hbm: bool, K: int, S: int, U: int,
             first_leaf = first < 0
             second_leaf = second < 0
 
-            # Leaves go to the ring queue (up to 2 masked SMEM writes).
+            # Leaves go to the ring queue.  Writes are UNCONDITIONAL into
+            # dead slots (>= qt is above the live ring, >= sp above the
+            # live stack), so no read-modify-write: a non-enqueued value
+            # lands in a slot the cursor never exposes, and when only the
+            # second child enqueues, w1 == w0 overwrites the dead first.
             enq_a = hit_first & first_leaf
             enq_b = hit_second & second_leaf
             w0 = qt % QUEUE_DEPTH
-            queue_ref[k, w0] = jnp.where(enq_a, first, queue_ref[k, w0])
+            queue_ref[k, w0] = first
             w1 = (qt + enq_a.astype(jnp.int32)) % QUEUE_DEPTH
-            queue_ref[k, w1] = jnp.where(enq_b, second, queue_ref[k, w1])
+            queue_ref[k, w1] = second
             qt = qt + enq_a.astype(jnp.int32) + enq_b.astype(jnp.int32)
 
-            # Inner second child goes to the stack (masked write).
+            # Inner second child goes to the stack (same dead-slot trick).
             push = hit_second & ~second_leaf
-            sp_w = jnp.minimum(sp, STACK_DEPTH - 1)
-            stack_ref[k, sp_w] = jnp.where(push, second, stack_ref[k, sp_w])
+            stack_ref[k, jnp.minimum(sp, STACK_DEPTH - 1)] = second
             sp = sp + push.astype(jnp.int32)
 
             # Next node: inner first child, else pop (stack holds only
@@ -419,8 +431,9 @@ def _kernel2(any_hit: bool, hbm: bool, K: int, S: int, U: int,
                     wrep, jnp.int32)[12 * S:13 * S]      # (S,1) orig tri id
                 hit_t = jnp.where(ok, t, hit_t)
                 hit_tri = jnp.where(ok, tid, hit_tri)
-                hit_u = jnp.where(ok, u, hit_u)
-                hit_v = jnp.where(ok, v, hit_v)
+                if want_uv:
+                    hit_u = jnp.where(ok, u, hit_u)
+                    hit_v = jnp.where(ok, v, hit_v)
             have0 = tcur < tend
             tcur = jnp.minimum(tcur + U, tend)
             tcur = jnp.where(have0, tcur, tcurs[k])
@@ -428,8 +441,9 @@ def _kernel2(any_hit: bool, hbm: bool, K: int, S: int, U: int,
 
             hit_t_ref[0, k] = hit_t
             hit_tri_ref[0, k] = hit_tri
-            hit_u_ref[0, k] = hit_u
-            hit_v_ref[0, k] = hit_v
+            if want_uv:
+                hit_u_ref[0, k] = hit_u
+                hit_v_ref[0, k] = hit_v
 
             if any_hit:
                 # Retire the packet once every valid ray has a hit.
@@ -465,9 +479,9 @@ def _kernel2(any_hit: bool, hbm: bool, K: int, S: int, U: int,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "hbm", "interpret",
-                                   "K", "S", "U"))
+                                   "want_uv", "K", "S", "U"))
 def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
-                interpret: bool, K: int, S: int, U: int):
+                interpret: bool, want_uv: bool, K: int, S: int, U: int):
     n = rays.origin.shape[0]
     block = K * S * 128
     t = max(1, -(-n // block))
@@ -490,17 +504,16 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
                             memory_space=pltpu.VMEM)
     table_space = pltpu.ANY if hbm else pltpu.VMEM
     table_spec = pl.BlockSpec(memory_space=table_space)
-    out_shape = [
-        jax.ShapeDtypeStruct((t, K, S, 128), jnp.int32),
-        jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32),
-        jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32),
-        jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32),
+    n_out = 4 if want_uv else 2
+    out_shape = [jax.ShapeDtypeStruct((t, K, S, 128), jnp.int32)] + [
+        jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32)
+        for _ in range(n_out - 1)
     ]
-    hit_tri, hit_t, hit_u, hit_v = pl.pallas_call(
-        partial(_kernel2, any_hit, hbm, K, S, U),
+    outs = pl.pallas_call(
+        partial(_kernel2, any_hit, hbm, want_uv, K, S, U),
         grid=(t,),
         in_specs=[table_spec, table_spec] + [ray_spec] * 8,
-        out_specs=[ray_spec] * 4,
+        out_specs=[ray_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((K, STACK_DEPTH), jnp.int32),
                         pltpu.SMEM((K, QUEUE_DEPTH), jnp.int32),
@@ -513,14 +526,22 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
         interpret=interpret,
     )(nodes3, woop3, *rays8)
 
+    if want_uv:
+        hit_tri, hit_t, hit_u, hit_v = outs
+        u = hit_u.reshape(-1)[:n]
+        v = hit_v.reshape(-1)[:n]
+    else:
+        hit_tri, hit_t = outs
+        u = v = jnp.zeros((n,), jnp.float32)
     return Hits(tri=hit_tri.reshape(-1)[:n], t=hit_t.reshape(-1)[:n],
-                u=hit_u.reshape(-1)[:n], v=hit_v.reshape(-1)[:n])
+                u=u, v=v)
 
 
 def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
                   tables=None, hbm: bool | None = None,
                   interpret: bool = False, tile: int | None = None,
-                  k: int | None = None, u: int | None = None) -> Hits:
+                  k: int | None = None, u: int | None = None,
+                  want_uv: bool = True) -> Hits:
     """Trace rays with the branch-free interleaved-packet kernel.
 
     tables: optional pre-packed (nodes3, woop3) from prepare_tables2
@@ -540,7 +561,7 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
     nodes3, woop3 = tables
     tile = TILE if tile is None else tile
     assert tile % 128 == 0
-    return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret,
+    return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret, want_uv,
                        K if k is None else k, tile // 128,
                        U if u is None else u)
 
