@@ -396,6 +396,10 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, K: int, S: int, U: int,
             # One fetch+rotate serves all U units: a leaf's triangles are
             # lane-adjacent (pack_tables2 alignment), so unit u reads the
             # static lane u of the rotated block.
+            # NOTE (measured, v5e): do NOT narrow any of these to (S,1)
+            # or (1,1) "scalars" — a vector op costs per-VREG, so (S,1)
+            # issues exactly like (S,128) and the re-broadcasts when
+            # mixing widths double the cost (47.6ms vs 23.9ms on bunny).
             ox, oy, oz = ox_ref[0, k], oy_ref[0, k], oz_ref[0, k]
             dx, dy, dz = dx_ref[0, k], dy_ref[0, k], dz_ref[0, k]
             if hbm:
