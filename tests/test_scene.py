@@ -195,3 +195,61 @@ def test_procedural_deterministic():
     b = procedural.make_blob(2000, seed=7)
     np.testing.assert_array_equal(a.positions, b.positions)
     np.testing.assert_array_equal(a.flat_indices(), b.flat_indices())
+
+
+def test_mesh_clean_removes_degenerates_and_unused():
+    from tpu_rt.scene.objio import Material, Mesh
+    import numpy as np
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0], [5, 5, 5]], np.float32)
+    subs = [np.array([[0, 1, 2], [0, 0, 2]], np.int32),
+            np.array([[1, 1, 1]], np.int32)]
+    mesh = Mesh(pos, None, None, subs, [Material(), Material()])
+    mesh.clean()
+    assert len(mesh.submeshes) == 1          # empty submesh dropped
+    assert mesh.submeshes[0].shape == (1, 3)  # degenerate tris dropped
+    assert mesh.num_vertices == 3             # vertex 3 unreferenced
+    np.testing.assert_array_equal(mesh.submeshes[0], [[0, 1, 2]])
+
+
+def test_mesh_collapse_vertices_merges_identical():
+    from tpu_rt.scene.objio import Material, Mesh
+    import numpy as np
+
+    pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                    [1, 0, 0], [0, 1, 0], [1, 1, 0]], np.float32)
+    subs = [np.array([[0, 1, 2], [3, 5, 4]], np.int32)]
+    mesh = Mesh(pos, None, None, subs, [Material()])
+    mesh.collapse_vertices()
+    assert mesh.num_vertices == 4
+    assert mesh.num_triangles == 2
+    # Shared edge now uses the same vertex ids in both triangles.
+    a, b = mesh.submeshes[0]
+    assert len(set(a.tolist()) & set(b.tolist())) == 2
+
+
+def test_mesh_simplify_bounded_drift():
+    from tpu_rt.scene.objio import Material, Mesh
+    import numpy as np
+
+    # A finely tessellated unit square; a small error budget must reduce
+    # triangle count without letting any vertex drift beyond the budget.
+    n = 17
+    g = np.linspace(0, 1, n, dtype=np.float32)
+    gx, gy = np.meshgrid(g, g, indexing="ij")
+    pos = np.stack([gx.ravel(), gy.ravel(), np.zeros(n * n, np.float32)], 1)
+    tris = []
+    for i in range(n - 1):
+        for j in range(n - 1):
+            a = i * n + j
+            tris.append([a, a + 1, a + n])
+            tris.append([a + 1, a + n + 1, a + n])
+    mesh = Mesh(pos.copy(), None, None,
+                [np.array(tris, np.int32)], [Material()])
+    before = mesh.num_triangles
+    mesh.simplify(0.08)
+    assert 0 < mesh.num_triangles < before
+    # Drift bound: every surviving vertex stays within max_error of some
+    # original vertex (triangle-inequality bound the method guarantees).
+    d = np.linalg.norm(mesh.positions[:, None, :] - pos[None, :, :], axis=2)
+    assert float(d.min(axis=1).max()) <= 0.08 + 1e-5

@@ -82,6 +82,130 @@ class Mesh:
         norms = np.linalg.norm(acc, axis=1, keepdims=True)
         self.normals = (acc / np.maximum(norms, 1e-30)).astype(np.float32)
 
+    def _remap_vertices(self, remap: np.ndarray, keep: np.ndarray) -> None:
+        """Apply a vertex remap + keep mask to all attributes and indices."""
+        self.positions = np.ascontiguousarray(self.positions[keep])
+        if self.normals is not None:
+            self.normals = np.ascontiguousarray(self.normals[keep])
+        if self.texcoords is not None:
+            self.texcoords = np.ascontiguousarray(self.texcoords[keep])
+        self.submeshes = [remap[s].astype(np.int32) for s in self.submeshes]
+
+    def clean(self) -> None:
+        """Remove degenerate triangles, empty submeshes, and unreferenced
+        vertices (reference MeshBase::clean, src/framework/3d/Mesh.cc:460).
+        Vectorized: mask instead of the reference's in-place compaction."""
+        subs, mats = [], []
+        for s, m in zip(self.submeshes, self.materials):
+            s = s.reshape(-1, 3)
+            ok = (s[:, 0] != s[:, 1]) & (s[:, 0] != s[:, 2]) & (s[:, 1] != s[:, 2])
+            s = s[ok]
+            if s.shape[0]:
+                subs.append(np.ascontiguousarray(s.astype(np.int32)))
+                mats.append(m)
+        self.submeshes, self.materials = subs, mats
+        used = np.zeros(self.num_vertices, bool)
+        idx = self.flat_indices()
+        used[idx.reshape(-1)] = True
+        remap = np.cumsum(used, dtype=np.int64) - 1
+        self._remap_vertices(remap, used)
+
+    def collapse_vertices(self) -> None:
+        """Collapse vertices whose full attribute tuples are identical
+        (reference MeshBase::collapseVertices, Mesh.cc:538).  The reference
+        hashes the raw vertex bytes; here np.unique over the stacked
+        attribute rows plays that role."""
+        cols = [self.positions]
+        if self.normals is not None:
+            cols.append(self.normals)
+        if self.texcoords is not None:
+            cols.append(self.texcoords)
+        key = np.concatenate([c.reshape(self.num_vertices, -1) for c in cols],
+                             axis=1)
+        _, first, inverse = np.unique(key, axis=0, return_index=True,
+                                      return_inverse=True)
+        inverse = np.asarray(inverse).reshape(-1)
+        # Keep first occurrences in original order (stable like the ref).
+        order = np.argsort(first, kind="stable")
+        rank = np.empty_like(order)
+        rank[order] = np.arange(order.size)
+        keep = np.zeros(self.num_vertices, bool)
+        keep[first] = True
+        remap = rank[inverse]
+        self._remap_vertices(remap, keep)
+        self.clean()
+
+    def simplify(self, max_error: float) -> None:
+        """Collapse short edges; no vertex drifts more than ``max_error``
+        from its original position (reference MeshBase::simplify,
+        Mesh.cc:643).  Idiomatic re-design: iterative rounds of
+        independent-set shortest-edge collapses with area-weighted
+        positions and accumulated drift tracking, instead of the
+        reference's BinaryHeap + linked edge lists — same contract
+        (bounded drift, degenerate faces cleaned afterwards)."""
+        if self.num_vertices == 0:
+            return
+        v = self.num_vertices
+        parent = np.arange(v)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return int(i)
+
+        pos = self.positions.astype(np.float32).copy()
+        err = np.zeros(v, np.float32)   # accumulated drift bound per group
+        for _ in range(16):             # rounds until no collapse applies
+            idx = self.flat_indices()
+            fa = np.fromiter((find(i) for i in idx.reshape(-1)),
+                             np.int64, idx.size).reshape(-1, 3)
+            p0, p1, p2 = pos[fa[:, 0]], pos[fa[:, 1]], pos[fa[:, 2]]
+            area = np.maximum(
+                np.linalg.norm(np.cross(p1 - p0, p2 - p0), axis=1), 1e-8)
+            w = np.zeros(v, np.float32)
+            for k in range(3):
+                np.add.at(w, fa[:, k], area.astype(np.float32))
+            edges = np.concatenate([fa[:, [0, 1]], fa[:, [1, 2]],
+                                    fa[:, [2, 0]]])
+            edges = edges[edges[:, 0] != edges[:, 1]]
+            if edges.shape[0] == 0:
+                break
+            edges = np.unique(np.sort(edges, axis=1), axis=0)
+            elen = np.linalg.norm(pos[edges[:, 0]] - pos[edges[:, 1]],
+                                  axis=1)
+            order = np.argsort(elen, kind="stable")
+            busy = np.zeros(v, bool)
+            collapsed = 0
+            for e in order:
+                a, b = find(int(edges[e, 0])), find(int(edges[e, 1]))
+                if a == b or busy[a] or busy[b]:
+                    continue
+                wa, wb = float(w[a]), float(w[b])
+                tgt = (pos[a] * wa + pos[b] * wb) / max(wa + wb, 1e-30)
+                # Triangle-inequality drift bound: every original vertex
+                # in either group has drifted at most err + |move|.
+                ea = err[a] + float(np.linalg.norm(tgt - pos[a]))
+                eb = err[b] + float(np.linalg.norm(tgt - pos[b]))
+                if max(ea, eb) > max_error:
+                    continue
+                busy[a] = busy[b] = True
+                parent[b] = a
+                pos[a] = tgt.astype(np.float32)
+                err[a] = max(ea, eb)
+                w[a] = wa + wb
+                collapsed += 1
+            if not collapsed:
+                break
+        roots = np.fromiter((find(i) for i in range(v)), np.int64, v)
+        self.positions = pos[roots].astype(np.float32)
+        self.submeshes = [roots[s].astype(np.int32) for s in self.submeshes]
+        # positions now duplicated per original id; clean() drops
+        # degenerates and unreferenced copies.
+        self.clean()
+        if self.normals is not None:
+            self.recompute_normals()
+
 
 _IGNORED_DIRECTIVES = {
     # Directives the reference silently skips (MeshWavefrontIO.cc:398-430).
