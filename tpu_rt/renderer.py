@@ -152,8 +152,13 @@ class Renderer:
         if self.active_tracer == "pallas":
             from tpu_rt.trace.packet2 import trace_packet2
 
+            # want_uv=False: the frame path consumes only (tri, t), exactly
+            # the reference kernel's int2 result (STORE_RESULT,
+            # kepler_dynamic_fetch.cu:407-408); barycentrics are recomputed
+            # from raw vertices where needed (tpu_rt.diff).
             hits = trace_packet2(self.flat, rays, any_hit=any_hit,
-                                 tables=self._packet_tables, hbm=self._packet_hbm)
+                                 tables=self._packet_tables,
+                                 hbm=self._packet_hbm, want_uv=False)
         else:
             hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
         # Device-scalar fence: block_until_ready does not reliably fence on
