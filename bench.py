@@ -1,15 +1,27 @@
 #!/usr/bin/env python
 """Benchmark harness: prints ONE JSON line with the headline metric.
 
-Metric discipline matches the reference (src/rt/App.cc:188-204): Mray/s =
-rays / trace-kernel time only, excluding raygen/sort/reconstruct; warmup
-runs excluded.  Scene: procedural bunny-class surrogate (144,500 tris, the
-reference bunny's triangle count) — the reference's OBJ scene files are not
+Metric discipline matches the reference (src/rt/App.cc:188-204 with
+src/rt/cuda/Renderer.cc:221-238): Mray/s = totalRays / trace-kernel time
+only, excluding raygen/sort/reconstruct; warmup runs excluded; and for
+secondary ray types the numerator is primary HITS x num_samples, not the
+count of generated rays (which includes degenerate tmax=-1 rays for
+primary misses).  AO radius defaults to the reference CLI default 5.0
+(Main.cc:82).
+
+Scene: procedural bunny-class surrogate (144,500 tris, the reference
+bunny's triangle count) — the reference's OBJ scene files are not
 redistributable, so the suite uses deterministic stand-ins with matched
 sizes (tpu_rt.scene.procedural).
 
-vs_baseline compares against the reference's published bunny primary rate
-(825.11 Mray/s, reference README.md:65; BASELINE.md).
+Before timing, one ray subset is traced by BOTH the compiled packet
+kernel and the XLA wavefront tracer on the same device and the hit ids /
+t values are asserted equal — a Mosaic miscompile fails the bench loudly
+instead of shipping into the numbers (reference golden-dump methodology,
+README.md:13-17).
+
+vs_baseline compares against the reference's published rate for the
+scene/ray-type (BASELINE.md).
 """
 
 from __future__ import annotations
@@ -27,6 +39,9 @@ WIDTH = int(os.environ.get("BENCH_WIDTH", 1024))
 HEIGHT = int(os.environ.get("BENCH_HEIGHT", 768))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 2))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
+SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1))  # reference App.cc:155
+AO_RADIUS = float(os.environ.get("BENCH_AO_RADIUS", 5.0))  # Main.cc:82
+VERIFY_RAYS = int(os.environ.get("BENCH_VERIFY_RAYS", 8192))
 
 # Reference Mray/s (BASELINE.md) keyed by (scene, ray_type).
 BASELINES = {
@@ -40,6 +55,45 @@ BASELINES = {
     ("sibenik", "ao"): 1499.86, ("sanmiguel", "ao"): 556.89,
     ("sponza", "ao"): 1022.61, ("knob", "ao"): 2763.01,
 }
+
+
+def verify_on_device(flat, dbvh, rays, any_hit, tables, hbm, n_check):
+    """Assert compiled packet kernel == XLA tracer on the live device for a
+    ray subset.  Returns the number of rays cross-checked."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_rt.core.types import Rays
+    from tpu_rt.trace.packet2 import trace_packet2
+    from tpu_rt.trace.xla_tracer import trace_wavefront
+
+    n = int(rays.origin.shape[0])
+    step = max(1, n // n_check)
+    sub = Rays(origin=rays.origin[::step], dirn=rays.dirn[::step],
+               tmin=rays.tmin[::step], tmax=rays.tmax[::step])
+    got = trace_packet2(flat, sub, any_hit=any_hit, tables=tables, hbm=hbm,
+                        want_uv=False)
+    want = trace_wavefront(dbvh, sub, any_hit=any_hit)
+    got_tri = np.asarray(got.tri)
+    want_tri = np.asarray(want.tri)
+    got_t = np.asarray(got.t)
+    want_t = np.asarray(want.t)
+    if any_hit:
+        # Any-hit may legitimately pick different occluders; compare
+        # hit/miss classification only.
+        bad = (got_tri >= 0) != (want_tri >= 0)
+    else:
+        bad = got_tri != want_tri
+        bad |= (got_tri >= 0) & ~np.isclose(got_t, want_t, rtol=1e-4,
+                                            atol=1e-6)
+    if bad.any():
+        idx = np.nonzero(bad)[0][:8]
+        raise AssertionError(
+            f"on-device kernel verification FAILED for {int(bad.sum())}/"
+            f"{got_tri.size} rays; first mismatches at {idx.tolist()}: "
+            f"packet tri={got_tri[idx].tolist()} t={got_t[idx].tolist()} "
+            f"vs xla tri={want_tri[idx].tolist()} t={want_t[idx].tolist()}")
+    return int(got_tri.size)
 
 
 def main() -> None:
@@ -64,12 +118,15 @@ def main() -> None:
 
     dbvh = device_bvh(flat)
     any_hit = False
+    num_rays = WIDTH * HEIGHT  # metric numerator (App.cc:188-204)
 
     from tpu_rt.trace.packet2 import prepare_tables2, tables2_fit_vmem, trace_packet2
 
     tracer = os.environ.get("BENCH_TRACER", "auto")
     tables = None
     hbm = not tables2_fit_vmem(flat)
+    if tracer == "auto" and jax.default_backend() != "tpu":
+        tracer = "xla"  # compiled Pallas requires the TPU backend
     if tracer in ("auto", "pallas"):
         tables = prepare_tables2(flat)
         if tables is not None:
@@ -80,17 +137,24 @@ def main() -> None:
     if RAY_TYPE != "primary":
         primary_hits = trace_wavefront(dbvh, rays)
         jax.block_until_ready(primary_hits)
+        # Numerator = primary hits x samples (Renderer.cc:221-238).
+        num_rays = int(np.sum(np.asarray(primary_hits.tri) >= 0)) * SAMPLES
         from tpu_rt.raygen.generators import gen_ao_rays
-        import jax.numpy as jnp
 
-        max_dist = float(np.linalg.norm(hi - lo)) * 0.1 if RAY_TYPE == "ao" else camera.far
+        max_dist = AO_RADIUS if RAY_TYPE == "ao" else camera.far
         rays, _, _ = gen_ao_rays(
             rays.origin, rays.dirn, primary_hits.t, primary_hits.tri,
-            jnp.asarray(scene.tri_normal), 1, jnp.float32(max_dist), jnp.uint32(0),
+            jnp.asarray(scene.tri_normal), SAMPLES, jnp.float32(max_dist),
+            jnp.uint32(0),
         )
         any_hit = RAY_TYPE == "ao"
 
     n = int(rays.origin.shape[0])
+
+    verified = 0
+    if tracer.startswith("pallas"):
+        verified = verify_on_device(flat, dbvh, rays, any_hit, tables, hbm,
+                                    VERIFY_RAYS)
 
     chain = int(os.environ.get("BENCH_CHAIN", 4))
 
@@ -118,7 +182,7 @@ def main() -> None:
         times.append((time.perf_counter() - t) / chain)
 
     best = min(times)
-    mrays = n / (best * 1e6)
+    mrays = num_rays / (best * 1e6)
     baseline = BASELINES.get((SCENE, RAY_TYPE))
     result = {
         "metric": f"{SCENE}_{RAY_TYPE}_mrays_per_s",
@@ -128,13 +192,17 @@ def main() -> None:
         "detail": {
             "scene": SCENE,
             "ray_type": RAY_TYPE,
-            "rays": n,
+            "rays_metric": num_rays,
+            "rays_traced": n,
+            "samples": SAMPLES,
+            "ao_radius": AO_RADIUS if RAY_TYPE == "ao" else None,
             "tris": scene.num_triangles,
             "bvh_refs": int(np.asarray(flat.tri_woop).shape[0]),
             "best_s": round(best, 5),
             "mean_s": round(float(np.mean(times)), 5),
             "build_s": round(build_s, 2),
             "tracer": tracer,
+            "verified_rays": verified,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -116,6 +116,30 @@ def test_secondary_frames(knob, ray_type, tmp_path):
         np.testing.assert_allclose(hit_colors[:, 3], 1.0, atol=1e-6)
 
 
+def test_mrays_metric_formula(knob):
+    """Pin the Mray/s formula to the reference definition
+    (App.cc:188-204 + Renderer.cc:221-238): numerator = primary count for
+    primary, primary HITS x num_samples for secondary — not rays_traced
+    (which counts degenerate miss rays and would inflate the rate)."""
+    mesh, scene, camera = knob
+    r = Renderer(W, H, RendererParams(ray_type="ao", num_samples=2,
+                                      ao_radius=3.0, cache_dir=None))
+    r.set_scene(scene)
+    stats = r.render_frame(camera)
+    n_hits = int(np.sum(np.asarray(r.primary.hits.tri) >= 0))
+    assert stats["total_rays"] == n_hits * 2
+    # The blob does not fill the frame: some primaries miss, so traced
+    # rays (hits+misses x samples) strictly exceed the metric numerator.
+    assert stats["rays_traced"] == W * H * 2 > stats["total_rays"] > 0
+    expect = stats["total_rays"] / (stats["trace_time_s"] * 1e6)
+    assert stats["mrays_per_s"] == pytest.approx(expect)
+
+    r2 = Renderer(W, H, RendererParams(ray_type="primary", cache_dir=None))
+    r2.set_scene(scene)
+    stats2 = r2.render_frame(camera)
+    assert stats2["total_rays"] == W * H == stats2["rays_traced"]
+
+
 def test_secondary_sort_invariance(knob):
     # Morton-sorting the secondary batch must not change the image.
     mesh, scene, camera = knob

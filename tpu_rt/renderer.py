@@ -234,13 +234,20 @@ class Renderer:
         return self.trace_time_s - t0
 
     def render_frame(self, camera: Camera) -> dict:
-        """Full frame: begin_frame + batch loop.  Returns timing/ray stats."""
+        """Full frame: begin_frame + batch loop.  Returns timing/ray stats.
+
+        Metric discipline per the reference (App.cc:188-204 with
+        Renderer.cc:221-238): the Mray/s numerator is get_total_num_rays()
+        — the primary-ray count, or primary HITS x num_samples for
+        secondary types — NOT the number of rays physically traced (which
+        for AO/diffuse includes degenerate tmax=-1 rays for primary
+        misses and would inflate the rate by the miss fraction)."""
         self.begin_frame(camera)
         total_rays = self.get_total_num_rays()
         while self.next_batch():
             self.trace_batch()
         mrays_per_s = (
-            self.rays_traced / (self.trace_time_s * 1e6) if self.trace_time_s > 0 else float("inf")
+            total_rays / (self.trace_time_s * 1e6) if self.trace_time_s > 0 else float("inf")
         )
         return {
             "total_rays": total_rays,
