@@ -123,6 +123,36 @@ def test_packet2_any_hit(setup):
     assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
 
 
+def test_packet2_hbm_matches_oracle(setup):
+    """Force the HBM double-buffered streaming path (packet2 hbm=True) on
+    a small scene: parity with the scalar oracle must be identical to the
+    VMEM-resident path.  This is the large-scene (dragon/hairball) code
+    path — prefetch-descriptor mirroring and queue-head peeking are the
+    subtlest logic in the kernel."""
+    scene, flat = setup
+    n = 2 * 512 + 77  # full + padded instance at tile=512
+    o, d, tmin, tmax = _rays(scene, n, seed=5)
+    tmax[::5] = -1.0  # degenerate rays in-stream
+    s_id, s_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), hbm=True,
+                         interpret=True, tile=512, k=2)
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    hit = s_id >= 0
+    np.testing.assert_allclose(np.asarray(hits.t)[hit], s_t[hit],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_packet2_hbm_any_hit(setup):
+    scene, flat = setup
+    o, d, tmin, tmax = _rays(scene, 600, seed=6)
+    c_id, c_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), any_hit=True,
+                         hbm=True, interpret=True, tile=512, k=2)
+    np.testing.assert_array_equal(np.asarray(hits.tri) >= 0, c_id >= 0)
+    hit = c_id >= 0
+    assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
+
+
 def test_packet2_degenerate_and_tiny(setup):
     scene, flat = setup
     # Degenerate rays (tmax < 0, reference convention) never hit; a tiny
