@@ -96,6 +96,45 @@ def verify_on_device(flat, dbvh, rays, any_hit, tables, hbm, n_check):
     return int(got_tri.size)
 
 
+def scaling_main() -> None:
+    """BENCH_MODE=scaling: rays/s at 1 device vs all devices
+    (dist.multihost.measure_scaling) — the BASELINE >=85% efficiency
+    metric.  On the single-chip TPU tunnel this degenerates to n=1; run
+    with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+    to exercise the multi-device path."""
+    import jax
+
+    from tpu_rt.bvh import load_or_build_bvh
+    from tpu_rt.dist import init_multihost, measure_scaling
+    from tpu_rt.raygen import RayGen
+    from tpu_rt.scene import Camera, Scene, procedural
+    from tpu_rt.trace import make_routing_tracer
+
+    init_multihost()
+    scene = Scene(procedural.scene_by_name(SCENE))
+    flat, _ = load_or_build_bvh(scene, cache_dir="bvhcache")
+    lo, hi = scene.bbox()
+    camera = Camera.for_bbox(lo, hi)
+    rays, _, _ = RayGen().primary(camera, WIDTH, HEIGHT)
+    routing, kind, tables = make_routing_tracer(flat)
+    out = measure_scaling(flat, rays, routing=routing, tables=tables,
+                          repeats=REPEATS, warmup=WARMUP)
+    result = {
+        "metric": f"{SCENE}_scaling_efficiency_{out['n_devices']}dev",
+        "value": round(out["efficiency"], 4),
+        "unit": "fraction",
+        "vs_baseline": round(out["efficiency"] / 0.85, 4),
+        "detail": {
+            "scene": SCENE, "tracer": kind,
+            "rate_1_mrays": round(out["rate_1_rays_per_s"] / 1e6, 3),
+            "rate_n_mrays": round(out["rate_n_rays_per_s"] / 1e6, 3),
+            "n_devices": out["n_devices"],
+            "backend": jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -211,4 +250,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_MODE") == "scaling":
+        scaling_main()
+    else:
+        main()

@@ -92,6 +92,71 @@ def test_grad_step_sharded_matches_single(setup):
     np.testing.assert_allclose(np.asarray(g_mat_sh), np.asarray(g_mat_1), rtol=1e-4, atol=1e-7)
 
 
+def test_trace_sharded_packet_routing(setup):
+    """The Pallas packet kernel (interpret mode on the CPU mesh) runs
+    inside shard_map as the routing tracer and matches the XLA tracer."""
+    from tpu_rt.trace import make_routing_tracer
+
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    routing, kind, tables = make_routing_tracer(
+        flat, prefer="packet", interpret=True, tile=128, k=2)
+    assert kind == "packet"
+    rep_tables = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())), tables)
+    sharded = trace_sharded(flat, shard_rays(rays, mesh), mesh,
+                            routing=routing, tables=rep_tables)
+    single = trace_wavefront(flat, rays)
+    np.testing.assert_array_equal(np.asarray(sharded.tri), np.asarray(single.tri))
+    # rtol 1e-5: packet kernel and XLA tracer differ in fp32 op order.
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t), rtol=1e-5)
+
+
+def test_grad_step_sharded_packet_routing_matches(setup):
+    """grad_step_sharded with packet routing == default XLA routing:
+    routing is discrete, so gradients must be identical."""
+    from tpu_rt.trace import make_routing_tracer
+
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    vtx = jnp.asarray(scene.vtx_pos)
+    tvi = jnp.asarray(scene.tri_vtx_index)
+    mat = jnp.asarray(scene.tri_material)
+    rng = np.random.default_rng(2)
+    target = jax.device_put(
+        jnp.asarray(rng.uniform(0, 1, (rays.origin.shape[0], 3)).astype(np.float32)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rays", None)),
+    )
+    rep = replicate_bvh(flat, mesh)
+    srays = shard_rays(rays, mesh)
+
+    base = grad_step_sharded(mesh, rep, srays, vtx, tvi, mat, target)
+    routing, _, tables = make_routing_tracer(
+        flat, prefer="packet", interpret=True, tile=128, k=2)
+    rep_tables = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())), tables)
+    routed = grad_step_sharded(mesh, rep, srays, vtx, tvi, mat, target,
+                               routing=routing, tables=rep_tables)
+    for a, b in zip(base, routed):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_measure_scaling(setup):
+    """Scaling-efficiency harness runs on the 8-device CPU mesh and
+    reports a sane efficiency (timing quality is not asserted on CPU)."""
+    from tpu_rt.dist import init_multihost, measure_scaling
+
+    assert init_multihost() == 1  # single-process no-op path
+    scene, flat, rays = setup
+    out = measure_scaling(flat, rays, repeats=1, warmup=1)
+    assert out["n_devices"] == 8
+    assert out["rate_1_rays_per_s"] > 0 and out["rate_n_rays_per_s"] > 0
+    assert np.isfinite(out["efficiency"]) and out["efficiency"] > 0
+
+
 def test_scaling_smoke(setup):
     # All 8 devices hold a shard of the rays; BVH replicated on each.
     scene, flat, rays = setup

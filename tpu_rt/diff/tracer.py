@@ -43,14 +43,22 @@ def moller_trumbore_tuv(o, d, v0, v1, v2):
     return t, u, v
 
 
-def trace_diff(any_hit: bool, flat: FlatBVH, rays: Rays, vtx_pos: jnp.ndarray, tri_vtx_index: jnp.ndarray) -> Hits:
+def trace_diff(any_hit: bool, flat: FlatBVH, rays: Rays, vtx_pos: jnp.ndarray,
+               tri_vtx_index: jnp.ndarray, raw: Hits | None = None) -> Hits:
     """Differentiable trace.  `flat` must be built from the same
     (vtx_pos, tri_vtx_index): it carries the routing; the raw arrays carry
     the derivative.  Returns Hits whose t/u/v are differentiable w.r.t.
-    rays and vtx_pos (misses keep t = tmax with zero gradient)."""
+    rays and vtx_pos (misses keep t = tmax with zero gradient).
+
+    raw: optional precomputed routing Hits (e.g. from the Pallas packet
+    kernel on TPU) — routing is discrete, so ANY correct tracer's output
+    can carry it; when given, `flat` is unused."""
     frozen_rays = jax.tree_util.tree_map(jax.lax.stop_gradient, rays)
-    frozen_flat = jax.tree_util.tree_map(jax.lax.stop_gradient, flat)
-    raw = trace_wavefront(frozen_flat, frozen_rays, any_hit=any_hit)
+    if raw is None:
+        frozen_flat = jax.tree_util.tree_map(jax.lax.stop_gradient, flat)
+        raw = trace_wavefront(frozen_flat, frozen_rays, any_hit=any_hit)
+    else:
+        raw = jax.tree_util.tree_map(jax.lax.stop_gradient, raw)
 
     hit = raw.tri >= 0
     tri_c = jnp.clip(raw.tri, 0, max(0, tri_vtx_index.shape[0] - 1))

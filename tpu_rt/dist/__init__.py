@@ -5,6 +5,7 @@ from tpu_rt.dist.sharding import (
     render_diff_sharded,
     grad_step_sharded,
 )
+from tpu_rt.dist.multihost import init_multihost, measure_scaling
 
 __all__ = [
     "make_ray_mesh",
@@ -12,4 +13,6 @@ __all__ = [
     "trace_sharded",
     "render_diff_sharded",
     "grad_step_sharded",
+    "init_multihost",
+    "measure_scaling",
 ]

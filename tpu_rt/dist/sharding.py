@@ -31,9 +31,16 @@ from jax import shard_map
 from tpu_rt.core.types import FlatBVH, Hits, Rays
 from tpu_rt.diff.shading import shade_hits_diff
 from tpu_rt.diff.tracer import trace_diff
+from tpu_rt.trace import _xla_routing
 from tpu_rt.trace.xla_tracer import trace_wavefront
 
 AXIS = "rays"
+
+# Routing-tracer plumbing: every sharded entry point takes an optional
+# (routing, tables) pair from tpu_rt.trace.make_routing_tracer, so the
+# Pallas packet kernel (not just the slow XLA wavefront) runs inside
+# shard_map on TPU.  `routing` is a static argument — create it once per
+# scene and reuse it, or every call recompiles.
 
 
 def make_ray_mesh(devices=None) -> Mesh:
@@ -63,61 +70,73 @@ def replicate_bvh(flat: FlatBVH, mesh: Mesh) -> FlatBVH:
     return jax.tree_util.tree_map(lambda x: jax.device_put(jnp.asarray(x), rep), flat)
 
 
-@partial(jax.jit, static_argnames=("mesh", "any_hit"))
-def _trace_sharded_jit(mesh, any_hit, flat, rays):
+_RAY_SPEC = Rays(origin=P(AXIS, None), dirn=P(AXIS, None), tmin=P(AXIS),
+                 tmax=P(AXIS))
+_HIT_SPEC = Hits(tri=P(AXIS), t=P(AXIS), u=P(AXIS), v=P(AXIS))
+
+
+@partial(jax.jit, static_argnames=("mesh", "any_hit", "routing"))
+def _trace_sharded_jit(mesh, any_hit, routing, tables, rays):
     fn = shard_map(
-        lambda f, r: trace_wavefront(f, r, any_hit=any_hit),
+        lambda tb, r: routing(tb, r, any_hit),
         mesh=mesh,
-        in_specs=(P(), Rays(origin=P(AXIS, None), dirn=P(AXIS, None), tmin=P(AXIS), tmax=P(AXIS))),
-        out_specs=Hits(tri=P(AXIS), t=P(AXIS), u=P(AXIS), v=P(AXIS)),
+        in_specs=(P(), _RAY_SPEC),
+        out_specs=_HIT_SPEC,
         check_vma=False,
     )
-    return fn(flat, rays)
+    return fn(tables, rays)
 
 
-def trace_sharded(flat: FlatBVH, rays: Rays, mesh: Mesh, any_hit: bool = False) -> Hits:
+def trace_sharded(flat: FlatBVH, rays: Rays, mesh: Mesh, any_hit: bool = False,
+                  routing=None, tables=None) -> Hits:
     """Trace with rays sharded across the mesh.  Forward pass has no
-    cross-chip communication; each chip runs its own wavefront loop."""
-    return _trace_sharded_jit(mesh, any_hit, flat, rays)
+    cross-chip communication; each chip runs its own traversal loop.
+
+    routing/tables: from tpu_rt.trace.make_routing_tracer — runs the
+    Pallas packet kernel per-chip on TPU.  Default: XLA wavefront over
+    `flat` (which must then be device-resident/replicated)."""
+    if routing is None:
+        routing, tables = _xla_routing, flat
+    return _trace_sharded_jit(mesh, any_hit, routing, tables, rays)
 
 
-@partial(jax.jit, static_argnames=("mesh",))
-def render_diff_sharded(mesh, flat, rays, vtx_pos, tri_vtx_index, tri_material):
-    """Sharded differentiable render: per-ray RGB, rays sharded, geometry
-    replicated."""
-
-    def local(f, r, vp, tvi, mat):
-        hits = trace_diff(False, f, r, vp, tvi)
+@partial(jax.jit, static_argnames=("mesh", "routing"))
+def _render_diff_sharded_jit(mesh, routing, flat, rays, vtx_pos,
+                             tri_vtx_index, tri_material, tables):
+    def local(f, r, vp, tvi, mat, tb):
+        raw = routing(tb, r, False) if routing is not None else None
+        hits = trace_diff(False, f, r, vp, tvi, raw=raw)
         return shade_hits_diff(hits.tri, vp, tvi, mat)
 
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            P(),
-            Rays(origin=P(AXIS, None), dirn=P(AXIS, None), tmin=P(AXIS), tmax=P(AXIS)),
-            P(),
-            P(),
-            P(),
-        ),
+        in_specs=(P(), _RAY_SPEC, P(), P(), P(), P()),
         out_specs=P(AXIS, None),
         check_vma=False,
     )
-    return fn(flat, rays, vtx_pos, tri_vtx_index, tri_material)
+    return fn(flat, rays, vtx_pos, tri_vtx_index, tri_material, tables)
 
 
-@partial(jax.jit, static_argnames=("mesh",))
-def grad_step_sharded(mesh, flat, rays, vtx_pos, tri_vtx_index, tri_material, target):
-    """One full 'training step': sharded forward render, L2 image loss
-    against `target` ([N,3], sharded like rays), backward with vertex +
-    material gradient all-reduce (psum over ICI).
+def render_diff_sharded(mesh, flat, rays, vtx_pos, tri_vtx_index,
+                        tri_material, routing=None, tables=None):
+    """Sharded differentiable render: per-ray RGB, rays sharded, geometry
+    replicated.  routing/tables (make_routing_tracer) run the fast packet
+    kernel for the stop-gradient routing pass on TPU."""
+    if routing is None:
+        tables = flat  # trace_diff routes via the XLA tracer over `flat`
+    return _render_diff_sharded_jit(mesh, routing, flat, rays, vtx_pos,
+                                    tri_vtx_index, tri_material, tables)
 
-    Returns (loss, grad_vtx_pos, grad_tri_material) — all replicated.
-    """
 
-    def local(f, r, vp, tvi, mat, tgt):
+@partial(jax.jit, static_argnames=("mesh", "routing"))
+def _grad_step_sharded_jit(mesh, routing, flat, rays, vtx_pos, tri_vtx_index,
+                           tri_material, target, tables):
+    def local(f, r, vp, tvi, mat, tgt, tb):
+        raw = routing(tb, r, False) if routing is not None else None
+
         def loss_fn(vp_, mat_):
-            hits = trace_diff(False, f, r, vp_, tvi)
+            hits = trace_diff(False, f, r, vp_, tvi, raw=raw)
             rgb = shade_hits_diff(hits.tri, vp_, tvi, mat_)
             # Mean over the *global* batch: local sum / global count.
             return jnp.sum((rgb - tgt) ** 2)
@@ -134,15 +153,27 @@ def grad_step_sharded(mesh, flat, rays, vtx_pos, tri_vtx_index, tri_material, ta
     fn = shard_map(
         local,
         mesh=mesh,
-        in_specs=(
-            P(),
-            Rays(origin=P(AXIS, None), dirn=P(AXIS, None), tmin=P(AXIS), tmax=P(AXIS)),
-            P(),
-            P(),
-            P(),
-            P(AXIS, None),
-        ),
+        in_specs=(P(), _RAY_SPEC, P(), P(), P(), P(AXIS, None), P()),
         out_specs=(P(), P(), P()),
         check_vma=False,
     )
-    return fn(flat, rays, vtx_pos, tri_vtx_index, tri_material, target)
+    return fn(flat, rays, vtx_pos, tri_vtx_index, tri_material, target,
+              tables)
+
+
+def grad_step_sharded(mesh, flat, rays, vtx_pos, tri_vtx_index, tri_material,
+                      target, routing=None, tables=None):
+    """One full 'training step': sharded forward render, L2 image loss
+    against `target` ([N,3], sharded like rays), backward with vertex +
+    material gradient all-reduce (psum over ICI).
+
+    routing/tables (make_routing_tracer): the stop-gradient routing trace
+    runs on the packet kernel on TPU; autodiff only sees the recompute
+    from raw vertices, so gradients are unchanged.
+
+    Returns (loss, grad_vtx_pos, grad_tri_material) — all replicated.
+    """
+    if routing is None:
+        tables = flat
+    return _grad_step_sharded_jit(mesh, routing, flat, rays, vtx_pos,
+                                  tri_vtx_index, tri_material, target, tables)

@@ -1,3 +1,5 @@
+from functools import partial
+
 from tpu_rt.trace.cpu_reference import (
     RayStats,
     intersect_brute,
@@ -11,4 +13,50 @@ __all__ = [
     "trace_flat_scalar",
     "trace_wavefront",
     "device_bvh",
+    "make_routing_tracer",
 ]
+
+
+def _xla_routing(tables, rays, any_hit=False):
+    return trace_wavefront(tables, rays, any_hit=any_hit)
+
+
+def _packet_routing(hbm, interpret, tile, k, u, tables, rays, any_hit=False):
+    from tpu_rt.trace.packet2 import _trace2_jit
+
+    nodes3, woop3 = tables
+    return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret,
+                       False, k, tile // 128, u)
+
+
+def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
+                        tile: int | None = None, k: int | None = None,
+                        u: int | None = None):
+    """Resolve the fastest routing tracer for the current backend/scene.
+
+    Returns (fn, kind, tables) where fn(tables, rays, any_hit) -> Hits is
+    jittable and shard_map-safe (tables is the pytree of device arrays to
+    replicate: packed packet tables for the Pallas kernel, or the device
+    FlatBVH for the XLA wavefront tracer).  Create once per scene and
+    reuse fn — it is used as a static argument downstream.
+
+    prefer: "auto" (packet kernel on TPU, XLA otherwise), "packet", "xla".
+    """
+    import jax
+
+    from tpu_rt.trace.packet2 import (
+        K, TILE, U, prepare_tables2, tables2_fit_vmem,
+    )
+
+    on_tpu = jax.default_backend() == "tpu"
+    if prefer == "packet" or (prefer == "auto" and on_tpu):
+        tables = prepare_tables2(flat)
+        if tables is not None:
+            hbm = not tables2_fit_vmem(flat)
+            fn = partial(_packet_routing, hbm, interpret,
+                         tile or TILE, k or K, u or U)
+            return fn, ("packet-hbm" if hbm else "packet"), tables
+        if prefer == "packet":
+            raise ValueError("packet tracer requested but scene exceeds "
+                             "packing limits")
+    return _xla_routing, "xla", device_bvh(flat)
