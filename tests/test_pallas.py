@@ -153,6 +153,25 @@ def test_packet2_hbm_any_hit(setup):
     assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
 
 
+def test_packet2_mxu_mode(setup):
+    """Opt-in MXU triangle unit (trace_packet2 mxu=True): dot-product op
+    order differs from the scalar oracle, so hit ids may flip on
+    edge-grazing rays — assert near-total id agreement plus t parity on
+    agreeing hits instead of exactness."""
+    scene, flat = setup
+    n = 2 * 512 + 99
+    o, d, tmin, tmax = _rays(scene, n, seed=7)
+    s_id, s_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), interpret=True,
+                         tile=512, k=2, mxu=True)
+    a_id = np.asarray(hits.tri)
+    agree = a_id == s_id
+    assert agree.mean() > 0.999, f"id agreement {agree.mean()}"
+    hit = (s_id >= 0) & agree
+    np.testing.assert_allclose(np.asarray(hits.t)[hit], s_t[hit],
+                               rtol=1e-4, atol=1e-5)
+
+
 def test_packet2_degenerate_and_tiny(setup):
     scene, flat = setup
     # Degenerate rays (tmax < 0, reference convention) never hit; a tiny

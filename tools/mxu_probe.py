@@ -157,16 +157,17 @@ def run(mode, niter):
         out_shape=jax.ShapeDtypeStruct((K, S, 128), jnp.float32),
         scratch_shapes=[pltpu.VMEM((48, S, 128), jnp.float32)],
     )
-    f = jax.jit(lambda *a: fn(*a))
+    # NB: block_until_ready does not fence on the tunneled axon platform —
+    # only a device-scalar readback does (same discipline as bench.py).
+    f = jax.jit(lambda *a: jnp.sum(fn(*a)))
     args = [jnp.asarray(x) for x in (wtab, woop, rwide, rsub, rays)]
-    r = f(*args)
-    r.block_until_ready()
+    float(f(*args))
     # Min over several reps: differential timing is noise-sensitive and
     # can otherwise go negative (advisor finding, round 1).
     best = float("inf")
     for _ in range(7):
         t0 = time.perf_counter()
-        f(*args).block_until_ready()
+        float(f(*args))
         best = min(best, time.perf_counter() - t0)
     return best
 

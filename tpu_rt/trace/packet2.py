@@ -63,6 +63,17 @@ from tpu_rt.core.types import FlatBVH, Hits, Rays
 TILE = int(os.environ.get("TPU_RT_TILE2", 2048))
 K = int(os.environ.get("TPU_RT_K", 4))
 U = int(os.environ.get("TPU_RT_U", 3))
+# MXU triangle unit (round-1 roadmap #1): the 6 Woop dot products per
+# (ray, candidate) become one L(48,10) @ R(10,TILE) matmul per packet
+# per iteration, with U pinned to 8 = MAX_LEAF so a whole leaf drains in
+# one iteration.  MEASURED SLOWER than the VPU path and therefore OFF by
+# default (tools/mxu_ablate.py, v5e): the matmul alone costs ~210 ns per
+# packet-step and the (8,TILE)-layout epilogue roughly doubles the VPU
+# epilogue's issue count, while the mean leaf holds only ~3 refs — so
+# whole-leaf drain wastes most of the 8-wide matmul.  The kernel is
+# vector-ISSUE-bound, and the MXU path issues more, not less.  Kept as
+# an opt-in mode for wide-leaf scenes (TPU_RT_MXU=1).
+MXU = os.environ.get("TPU_RT_MXU", "0") != "0"
 assert TILE % 128 == 0
 STACK_DEPTH = 64
 QUEUE_DEPTH = 64
@@ -160,6 +171,14 @@ def tables2_fit_vmem(flat: FlatBVH) -> bool:
     return nodes_b + woop_b <= VMEM_TABLE_BUDGET
 
 
+def _flat_to_rows(x, S):
+    """Relayout (1, S*128) -> (S, 128) via static lane slices + sublane
+    concat (Mosaic rejects the equivalent reshape as an unsupported shape
+    cast; whole-vreg slices + concat lower to register moves)."""
+    return jnp.concatenate(
+        [x[:, 128 * s:128 * (s + 1)] for s in range(S)], axis=0)
+
+
 def _fetch_col_block(table_ref, idx):
     """Record `idx` from a transposed (NB,16,128) table, lane-rotated so
     the record is lane 0: one dynamic-sublane block fetch + one rotate."""
@@ -172,10 +191,15 @@ def _fetch_col(table_ref, idx):
     return _fetch_col_block(table_ref, idx)[:, 0:1]
 
 
-def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, K: int, S: int, U: int,
+def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
+             K: int, S: int, U: int,
              nodes_ref, woop_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
              *rest):
+    if mxu:
+        rmat_ref, *rest = rest
+    else:
+        rmat_ref = None
     if want_uv:
         (hit_tri_ref, hit_t_ref, hit_u_ref, hit_v_ref,
          stack_ref, queue_ref, ctx_ref, dsign_ref, node_scr, tri_scr,
@@ -408,7 +432,75 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, K: int, S: int, U: int,
             else:
                 tblk0 = woop_ref[tpos // 128]
             wblk = pltpu.roll(tblk0, -(tpos % 128), axis=1)
-            for uu in range(U):
+            if mxu:
+                # --- MXU triangle unit: all U candidates in one matmul.
+                # L (6U,10) from the transposed candidate records; rmat
+                # rows = [ox,oy,oz,1,dx,dy,dz,tmin,tmax,0] (host-built,
+                # flat ray order); columns 7-9 of L are zero so the
+                # tmin/tmax carrier rows never contribute.
+                wT = jnp.transpose(wblk[:, 0:U])          # (U,16)
+                z3 = jnp.zeros((U, 3), jnp.float32)
+                z4 = jnp.zeros((U, 4), jnp.float32)
+                z6 = jnp.zeros((U, 6), jnp.float32)
+
+                def lo(c):  # origin-side row block: [c0..c2, c3, 0x6]
+                    return jnp.concatenate(
+                        [c[:, 0:3], c[:, 3:4], z6], axis=1)
+
+                def ld(c):  # direction-side row block: [0x4, c0..c2, 0x3]
+                    return jnp.concatenate([z4, c[:, 0:3], z3], axis=1)
+
+                w_z = wT[:, 0:4]
+                w_x = wT[:, 4:8]
+                w_y = wT[:, 8:12]
+                L = jnp.concatenate([
+                    lo(jnp.concatenate([-w_z[:, 0:3], w_z[:, 3:4]], axis=1)),
+                    ld(w_z), lo(w_x), ld(w_x), lo(w_y), ld(w_y)], axis=0)
+                rmat = rmat_ref[0, k]                     # (10, S*128)
+                O = jax.lax.dot_general(
+                    L, rmat, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision="float32")                  # (6U, S*128)
+                ozt, dzt = O[0:U], O[U:2 * U]
+                oxt, dxt = O[2 * U:3 * U], O[3 * U:4 * U]
+                oyt, dyt = O[4 * U:5 * U], O[5 * U:6 * U]
+                t = ozt / dzt
+                uu_ = oxt + t * dxt
+                vv_ = oyt + t * dyt
+                tminf = rmat[7:8]
+                tmaxf = rmat[8:9]
+                have = (jax.lax.broadcasted_iota(jnp.int32, (U, 1), 0)
+                        < (tend - tcur))
+                # Candidate gate uses tmax (not the shrinking hit_t):
+                # conservative — worse candidates lose the min anyway and
+                # the merge re-checks against hit_t.
+                okc = (have & (t > tminf) & (t < tmaxf)
+                       & (uu_ >= 0.0) & (vv_ >= 0.0) & (uu_ + vv_ <= 1.0))
+                tsel = jnp.where(okc, t, jnp.float32(np.inf))
+                tb = jnp.min(tsel, axis=0, keepdims=True)  # (1, S*128)
+                eq = tsel == tb
+                tid_col = jax.lax.bitcast_convert_type(
+                    wT[:, 12:13], jnp.int32)               # (U,1)
+                idb = jnp.max(jnp.where(eq, tid_col, -1), axis=0,
+                              keepdims=True)
+                tb2 = _flat_to_rows(tb, S)
+                idb2 = _flat_to_rows(idb, S)
+                upd = tb2 < hit_t
+                if any_hit:
+                    upd = upd & (hit_tri < 0)
+                hit_t = jnp.where(upd, tb2, hit_t)
+                hit_tri = jnp.where(upd, idb2, hit_tri)
+                if want_uv:
+                    ub = _flat_to_rows(jnp.max(
+                        jnp.where(eq, uu_, -jnp.inf), axis=0,
+                        keepdims=True), S)
+                    vb = _flat_to_rows(jnp.max(
+                        jnp.where(eq, vv_, -jnp.inf), axis=0,
+                        keepdims=True), S)
+                    hit_u = jnp.where(upd, ub, hit_u)
+                    hit_v = jnp.where(upd, vb, hit_v)
+            else:
+              for uu in range(U):
                 have = (tcur + uu) < tend
                 wrep = jnp.repeat(wblk[:, uu:uu + 1], S, axis=0)  # (16*S,1)
 
@@ -483,9 +575,10 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, K: int, S: int, U: int,
 
 
 @partial(jax.jit, static_argnames=("any_hit", "hbm", "interpret",
-                                   "want_uv", "K", "S", "U"))
+                                   "want_uv", "K", "S", "U", "mxu"))
 def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
-                interpret: bool, want_uv: bool, K: int, S: int, U: int):
+                interpret: bool, want_uv: bool, K: int, S: int, U: int,
+                mxu: bool = False):
     n = rays.origin.shape[0]
     block = K * S * 128
     t = max(1, -(-n // block))
@@ -504,6 +597,24 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
         prep(rays.dirn[:, 2], 0.0),
         prep(rays.tmin, 0.0), prep(rays.tmax, -1.0),
     ]
+    extra = []
+    extra_specs = []
+    if mxu:
+        # Ray-component matrix for the MXU triangle unit, flat ray order:
+        # rows [ox,oy,oz,1,dx,dy,dz,tmin,tmax,0].  Rows 7-9 multiply zero
+        # columns of L; 7/8 double as the tmin/tmax carriers the flat
+        # epilogue reads directly (no in-kernel relayout).
+        flat8 = [r.reshape(t, K, S * 128) for r in rays8]
+        ones = jnp.ones_like(flat8[0])
+        zeros = jnp.zeros_like(flat8[0])
+        rmat = jnp.stack(
+            [flat8[0], flat8[1], flat8[2], ones,
+             flat8[3], flat8[4], flat8[5],
+             flat8[6], flat8[7], zeros], axis=2)  # (t, K, 10, S*128)
+        extra = [rmat]
+        extra_specs = [pl.BlockSpec((1, K, 10, S * 128),
+                                    lambda i: (i, 0, 0, 0),
+                                    memory_space=pltpu.VMEM)]
     ray_spec = pl.BlockSpec((1, K, S, 128), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
     table_space = pltpu.ANY if hbm else pltpu.VMEM
@@ -514,9 +625,9 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
         for _ in range(n_out - 1)
     ]
     outs = pl.pallas_call(
-        partial(_kernel2, any_hit, hbm, want_uv, K, S, U),
+        partial(_kernel2, any_hit, hbm, want_uv, mxu, K, S, U),
         grid=(t,),
-        in_specs=[table_spec, table_spec] + [ray_spec] * 8,
+        in_specs=[table_spec, table_spec] + [ray_spec] * 8 + extra_specs,
         out_specs=[ray_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((K, STACK_DEPTH), jnp.int32),
@@ -528,7 +639,7 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
                         pltpu.SemaphoreType.DMA((K,)),
                         pltpu.SemaphoreType.DMA((K,))],
         interpret=interpret,
-    )(nodes3, woop3, *rays8)
+    )(nodes3, woop3, *rays8, *extra)
 
     if want_uv:
         hit_tri, hit_t, hit_u, hit_v = outs
@@ -545,7 +656,7 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
                   tables=None, hbm: bool | None = None,
                   interpret: bool = False, tile: int | None = None,
                   k: int | None = None, u: int | None = None,
-                  want_uv: bool = True) -> Hits:
+                  want_uv: bool = True, mxu: bool | None = None) -> Hits:
     """Trace rays with the branch-free interleaved-packet kernel.
 
     tables: optional pre-packed (nodes3, woop3) from prepare_tables2
@@ -555,6 +666,11 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
     auto-selects by table size.
     tile/k/u: packet size, interleave width, triangle units (defaults
     from TPU_RT_TILE2 / TPU_RT_K / TPU_RT_U env).
+    mxu: matmul triangle unit (default TPU_RT_MXU env, on): whole-leaf
+    candidate groups via one (6U,10)@(10,tile) matmul per packet per
+    iteration; U defaults to MAX_LEAF so one iteration drains a leaf.
+    MXU dot products are f32-class but not bit-identical to the scalar
+    oracle's op order — hit ids can differ for edge-grazing rays.
     """
     if hbm is None:
         hbm = not tables2_fit_vmem(flat)
@@ -565,9 +681,12 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
     nodes3, woop3 = tables
     tile = TILE if tile is None else tile
     assert tile % 128 == 0
+    if mxu is None:
+        mxu = MXU
+    if u is None:
+        u = MAX_LEAF if mxu else U
     return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret, want_uv,
-                       K if k is None else k, tile // 128,
-                       U if u is None else u)
+                       K if k is None else k, tile // 128, u, mxu)
 
 
 def prepare_tables2(flat: FlatBVH):
