@@ -153,6 +153,34 @@ def test_packet2_hbm_any_hit(setup):
     assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
 
 
+@pytest.mark.parametrize("c,hbm", [(2, False), (3, False), (2, True)])
+def test_packet2_multi_cursor(setup, c, hbm):
+    """C parallel leaf cursors drain C queue entries per iteration; hit
+    results must stay bit-identical to the oracle (each candidate is
+    still tested with the exact scalar arithmetic; only drain order
+    changes, and the closest-hit merge is order-independent)."""
+    scene, flat = setup
+    n = 2 * 512 + 131
+    o, d, tmin, tmax = _rays(scene, n, seed=9)
+    tmax[::7] = -1.0
+    s_id, s_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), interpret=True,
+                         tile=512, k=2, c=c, hbm=hbm)
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    hit = s_id >= 0
+    np.testing.assert_allclose(np.asarray(hits.t)[hit], s_t[hit],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_packet2_multi_cursor_any_hit(setup):
+    scene, flat = setup
+    o, d, tmin, tmax = _rays(scene, 700, seed=10)
+    c_id, _, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), any_hit=True,
+                         interpret=True, tile=512, k=2, c=3)
+    np.testing.assert_array_equal(np.asarray(hits.tri) >= 0, c_id >= 0)
+
+
 def test_packet2_mxu_mode(setup):
     """Opt-in MXU triangle unit (trace_packet2 mxu=True): dot-product op
     order differs from the scalar oracle, so hit ids may flip on

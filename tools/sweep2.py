@@ -1,8 +1,8 @@
 #!/usr/bin/env python
 """In-process (tile, K, U) sweep of the packet2 kernel on real hardware.
 
-Usage: python tools/sweep2.py [scene] [ray_type] [tile,k,u ...]
-e.g.   python tools/sweep2.py bunny primary 512,8,2 1024,4,3 2048,4,3
+Usage: python tools/sweep2.py [scene] [ray_type] [tile,k,u[,c] ...]
+e.g.   python tools/sweep2.py bunny primary 2048,4,3,2 2048,4,3,3
 
 Each config is compiled once, warmed, then timed with a chained fence
 (same discipline as bench.py).  Prints ms and Mray/s per config.
@@ -23,9 +23,9 @@ def main() -> None:
     scene_name = sys.argv[1] if len(sys.argv) > 1 else "bunny"
     ray_type = sys.argv[2] if len(sys.argv) > 2 else "primary"
     configs = [tuple(int(v) for v in a.split(",")) for a in sys.argv[3:]]
+    configs = [cfg + (1,) * (4 - len(cfg)) for cfg in configs]
     if not configs:
-        configs = [(512, 8, 2), (1024, 4, 3), (1024, 8, 3),
-                   (2048, 4, 3), (2048, 8, 3), (4096, 4, 3)]
+        configs = [(2048, 4, 3, 1), (2048, 4, 3, 2), (2048, 4, 3, 3)]
     width = int(os.environ.get("KB_WIDTH", 1024))
     height = int(os.environ.get("KB_HEIGHT", 768))
     chain = int(os.environ.get("KB_CHAIN", 4))
@@ -68,14 +68,14 @@ def main() -> None:
     print(f"{scene_name} {ray_type}: {n} rays, hbm={hbm}")
 
     ref = None
-    for tile, k, u in configs:
+    for tile, k, u, c in configs:
         try:
             def run(reps=1):
                 acc = jnp.int32(0)
                 for _ in range(reps):
                     h = trace_packet2(flat, rays, any_hit=any_hit,
                                       tables=tables, hbm=hbm,
-                                      tile=tile, k=k, u=u, want_uv=False)
+                                      tile=tile, k=k, u=u, c=c, want_uv=False)
                     acc = acc + jnp.sum(h.tri)
                 return int(acc)
 
@@ -90,10 +90,10 @@ def main() -> None:
                 run(chain)
                 times.append((time.perf_counter() - t0) / chain)
             best = min(times)
-            print(f"tile={tile:5d} K={k} U={u}: {best*1e3:8.3f} ms  "
+            print(f"tile={tile:5d} K={k} U={u} C={c}: {best*1e3:8.3f} ms  "
                   f"{n/best/1e6:8.2f} Mray/s  [{ok}]")
         except Exception as e:  # noqa: BLE001
-            print(f"tile={tile:5d} K={k} U={u}: FAILED {type(e).__name__}: "
+            print(f"tile={tile:5d} K={k} U={u} C={c}: FAILED {type(e).__name__}: "
                   f"{str(e)[:120]}")
 
 

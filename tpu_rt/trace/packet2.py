@@ -57,12 +57,18 @@ from tpu_rt.core.types import FlatBVH, Hits, Rays
 
 # Rays per packet: (S, 128); K packets advance per iteration; U triangle
 # tests per packet per iteration (tri steps outnumber node steps ~2:1).
-# Defaults come from env; all three are per-call static config so sweeps
+# Defaults come from env; all are per-call static config so sweeps
 # (tools/sweep2.py) run in-process.  U=3/K=4/TILE=2048 measured best on
 # v5e for VMEM-resident tables.
 TILE = int(os.environ.get("TPU_RT_TILE2", 2048))
 K = int(os.environ.get("TPU_RT_K", 4))
 U = int(os.environ.get("TPU_RT_U", 3))
+# C parallel leaf cursors per packet.  Leaf visits bind the iteration
+# count (bunny: ~215 leaf-visit steps vs ~100 node steps per packet, and
+# the mean leaf holds ~3 refs so U>3 cannot reduce steps); C cursors
+# drain C queue entries per iteration, cutting tri-step iterations ~C x
+# for one extra fetch+roll + U tri units each.
+C = int(os.environ.get("TPU_RT_C", 1))
 # MXU triangle unit (round-1 roadmap #1): the 6 Woop dot products per
 # (ray, candidate) become one L(48,10) @ R(10,TILE) matmul per packet
 # per iteration, with U pinned to 8 = MAX_LEAF so a whole leaf drains in
@@ -192,7 +198,7 @@ def _fetch_col(table_ref, idx):
 
 
 def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
-             K: int, S: int, U: int,
+             K: int, S: int, U: int, C: int,
              nodes_ref, woop_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
              *rest):
@@ -253,36 +259,47 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
     def node_fetch_idx(node):
         return jnp.where(node == SENT, 0, node)
 
-    def tri_fetch_idx(k, tcur, tend, qh, qt):
-        # Next triangle to test: the current cursor, else the first
-        # triangle of the leaf at the queue head (the next refill), else 0.
-        enc = queue_ref[k, qh % QUEUE_DEPTH]
+    def tri_fetch_idx(k, j, tcurs_k, tends_k, qh, qt):
+        # Next triangle position for cursor j: its own cursor if mid-run,
+        # else the first triangle of the queue entry it would refill from
+        # (entries are claimed in cursor order — the refill below must
+        # mirror this prefix logic exactly), else 0.
+        nbefore = jnp.int32(0)
+        for i in range(j):
+            nbefore = nbefore + ((tcurs_k[i] >= tends_k[i])
+                                 & (qh + nbefore < qt)).astype(jnp.int32)
+        mypos = qh + nbefore
+        enc = queue_ref[k, mypos % QUEUE_DEPTH]
         nxt_first = (~enc) & FIRST_MASK
-        return jnp.where(tcur < tend, tcur,
-                         jnp.where(qh < qt, nxt_first, 0))
+        return jnp.where(tcurs_k[j] < tends_k[j], tcurs_k[j],
+                         jnp.where(mypos < qt, nxt_first, 0))
 
     def node_copy(k, node):
         return pltpu.make_async_copy(
             nodes_ref.at[node_fetch_idx(node) // 128],
             node_scr.at[k], nsem.at[k])
 
-    def tri_copy(k, ti):
+    def tri_copy(k, j, ti):
         return pltpu.make_async_copy(
-            woop_ref.at[ti // 128], tri_scr.at[k], tsem.at[k])
+            woop_ref.at[ti // 128], tri_scr.at[k, j], tsem.at[k, j])
 
     if hbm:
         for k in range(K):
             node_copy(k, start(k)).start()
-            tri_copy(k, jnp.int32(0)).start()
+            for j in range(C):
+                tri_copy(k, j, jnp.int32(0)).start()
 
     # Per-packet scalar state: node (current INNER node or SENT), sp,
-    # tcur/tend (triangle cursor), qh/qt (leaf ring-queue bounds).
+    # C tcur/tend triangle cursors (flat-indexed k*C+j), qh/qt (leaf
+    # ring-queue bounds).
     def cond(state):
         nodes, sps, tcurs, tends, qhs, qts = state
-        alive = (nodes[0] != SENT) | (qhs[0] < qts[0]) | (tcurs[0] < tends[0])
-        for k in range(1, K):
-            alive = alive | (nodes[k] != SENT) | (qhs[k] < qts[k]) \
-                | (tcurs[k] < tends[k])
+        alive = None
+        for k in range(K):
+            a = (nodes[k] != SENT) | (qhs[k] < qts[k])
+            for j in range(C):
+                a = a | (tcurs[k * C + j] < tends[k * C + j])
+            alive = a if alive is None else (alive | a)
         return alive
 
     def body(state):
@@ -291,12 +308,14 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
             [], [], [], [], [], []
         for k in range(K):
             node, sp = nodes[k], sps[k]
-            tcur, tend = tcurs[k], tends[k]
+            tcur_k = [tcurs[k * C + j] for j in range(C)]
+            tend_k = [tends[k * C + j] for j in range(C)]
             qh, qt = qhs[k], qts[k]
 
-            # The prefetched triangle position (must mirror the refill
+            # The prefetched triangle positions (must mirror the refill
             # decision below exactly; computed from pre-refill state).
-            tpos = tri_fetch_idx(k, tcur, tend, qh, qt)
+            tpos_k = [tri_fetch_idx(k, j, tcur_k, tend_k, qh, qt)
+                      for j in range(C)]
 
             # Padding rays carry tmax=-1, so hit_t starts at -1 and both
             # the slab far-clamp and the t<hit_t test self-mask them; no
@@ -310,16 +329,20 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
 
             # ---------------- leaf refill (masked) ----------------
             # Runs FIRST so the triangle prefetch issued last iteration
-            # (which peeked at the queue head) matches the cursor.
-            want = tcur >= tend
-            can = want & (qh < qt)
-            enc = queue_ref[k, qh % QUEUE_DEPTH]
-            dec = ~enc
-            lfirst = dec & FIRST_MASK
-            lcount = (dec >> COUNT_SHIFT) & 0xFF
-            tcur = jnp.where(can, lfirst, tcur)
-            tend = jnp.where(can, lfirst + lcount, tend)
-            qh = qh + can.astype(jnp.int32)
+            # (which peeked at its claim position) matches the cursor.
+            # Cursors claim queue entries in cursor order.
+            nref = jnp.int32(0)
+            for j in range(C):
+                want = tcur_k[j] >= tend_k[j]
+                can = want & (qh + nref < qt)
+                enc = queue_ref[k, (qh + nref) % QUEUE_DEPTH]
+                dec = ~enc
+                lfirst = dec & FIRST_MASK
+                lcount = (dec >> COUNT_SHIFT) & 0xFF
+                tcur_k[j] = jnp.where(can, lfirst, tcur_k[j])
+                tend_k[j] = jnp.where(can, lfirst + lcount, tend_k[j])
+                nref = nref + can.astype(jnp.int32)
+            qh = qh + nref
 
             # ---------------- node unit (masked) ----------------
             # Backpressure: stall traversal if the leaf queue could
@@ -417,22 +440,26 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
             sp = sp_after
 
             # ---------------- triangle units (masked) ----------------
-            # One fetch+rotate serves all U units: a leaf's triangles are
-            # lane-adjacent (pack_tables2 alignment), so unit u reads the
-            # static lane u of the rotated block.
+            # One fetch+rotate serves all U units of a cursor: a leaf's
+            # triangles are lane-adjacent (pack_tables2 alignment), so
+            # unit u reads the static lane u of the rotated block.  C
+            # cursors drain C queue entries concurrently.
             # NOTE (measured, v5e): do NOT narrow any of these to (S,1)
             # or (1,1) "scalars" — a vector op costs per-VREG, so (S,1)
             # issues exactly like (S,128) and the re-broadcasts when
             # mixing widths double the cost (47.6ms vs 23.9ms on bunny).
             ox, oy, oz = ox_ref[0, k], oy_ref[0, k], oz_ref[0, k]
             dx, dy, dz = dx_ref[0, k], dy_ref[0, k], dz_ref[0, k]
-            if hbm:
-                tri_copy(k, tpos).wait()
-                tblk0 = tri_scr[k]
-            else:
+            for j in range(C):
+              tpos = tpos_k[j]
+              tcur, tend = tcur_k[j], tend_k[j]
+              if hbm:
+                tri_copy(k, j, tpos).wait()
+                tblk0 = tri_scr[k, j]
+              else:
                 tblk0 = woop_ref[tpos // 128]
-            wblk = pltpu.roll(tblk0, -(tpos % 128), axis=1)
-            if mxu:
+              wblk = pltpu.roll(tblk0, -(tpos % 128), axis=1)
+              if mxu:
                 # --- MXU triangle unit: all U candidates in one matmul.
                 # L (6U,10) from the transposed candidate records; rmat
                 # rows = [ox,oy,oz,1,dx,dy,dz,tmin,tmax,0] (host-built,
@@ -499,41 +526,41 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
                         keepdims=True), S)
                     hit_u = jnp.where(upd, ub, hit_u)
                     hit_v = jnp.where(upd, vb, hit_v)
-            else:
-              for uu in range(U):
-                have = (tcur + uu) < tend
-                wrep = jnp.repeat(wblk[:, uu:uu + 1], S, axis=0)  # (16*S,1)
+              else:
+                for uu in range(U):
+                    have = (tcur + uu) < tend
+                    wrep = jnp.repeat(wblk[:, uu:uu + 1], S, axis=0)  # (16*S,1)
 
-                def c(i):
-                    return wrep[S * i:S * (i + 1)]
+                    def c(i):
+                        return wrep[S * i:S * (i + 1)]
 
-                oz_t = c(3) - ox * c(0) - oy * c(1) - oz * c(2)
-                dz_t = dx * c(0) + dy * c(1) + dz * c(2)
-                t = oz_t / dz_t
-                ox_t = c(7) + ox * c(4) + oy * c(5) + oz * c(6)
-                dx_t = dx * c(4) + dy * c(5) + dz * c(6)
-                u = ox_t + t * dx_t
-                oy_t = c(11) + ox * c(8) + oy * c(9) + oz * c(10)
-                dy_t = dx * c(8) + dy * c(9) + dz * c(10)
-                v = oy_t + t * dy_t
+                    oz_t = c(3) - ox * c(0) - oy * c(1) - oz * c(2)
+                    dz_t = dx * c(0) + dy * c(1) + dz * c(2)
+                    t = oz_t / dz_t
+                    ox_t = c(7) + ox * c(4) + oy * c(5) + oz * c(6)
+                    dx_t = dx * c(4) + dy * c(5) + dz * c(6)
+                    u = ox_t + t * dx_t
+                    oy_t = c(11) + ox * c(8) + oy * c(9) + oz * c(10)
+                    dy_t = dx * c(8) + dy * c(9) + dz * c(10)
+                    v = oy_t + t * dy_t
 
-                if any_hit:
-                    ok = hit_tri < 0
-                else:
-                    ok = jnp.bool_(True)
-                ok = (ok & have & (t > tmin) & (t < hit_t)
-                      & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
-                tid = jax.lax.bitcast_convert_type(
-                    wrep, jnp.int32)[12 * S:13 * S]      # (S,1) orig tri id
-                hit_t = jnp.where(ok, t, hit_t)
-                hit_tri = jnp.where(ok, tid, hit_tri)
-                if want_uv:
-                    hit_u = jnp.where(ok, u, hit_u)
-                    hit_v = jnp.where(ok, v, hit_v)
-            have0 = tcur < tend
-            tcur = jnp.minimum(tcur + U, tend)
-            tcur = jnp.where(have0, tcur, tcurs[k])
-            tcur = jnp.where(can, jnp.minimum(lfirst + U, tend), tcur)
+                    if any_hit:
+                        ok = hit_tri < 0
+                    else:
+                        ok = jnp.bool_(True)
+                    ok = (ok & have & (t > tmin) & (t < hit_t)
+                          & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0))
+                    tid = jax.lax.bitcast_convert_type(
+                        wrep, jnp.int32)[12 * S:13 * S]  # (S,1) orig tri id
+                    hit_t = jnp.where(ok, t, hit_t)
+                    hit_tri = jnp.where(ok, tid, hit_tri)
+                    if want_uv:
+                        hit_u = jnp.where(ok, u, hit_u)
+                        hit_v = jnp.where(ok, v, hit_v)
+              # Advance the cursor past the drained slots (an exhausted,
+              # unrefilled cursor stays put).
+              tcur_k[j] = jnp.where(tcur < tend,
+                                    jnp.minimum(tcur + U, tend), tcur)
 
             hit_t_ref[0, k] = hit_t
             hit_tri_ref[0, k] = hit_tri
@@ -546,39 +573,46 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
                 undecided = jnp.any((tmax_ref[0, k] >= 0.0) & (hit_tri < 0))
                 node = jnp.where(undecided, node, SENT)
                 qh = jnp.where(undecided, qh, qt)
-                tcur = jnp.where(undecided, tcur, tend)
+                for j in range(C):
+                    tcur_k[j] = jnp.where(undecided, tcur_k[j], tend_k[j])
 
             if hbm:
                 node_copy(k, node).start()
-                tri_copy(k, tri_fetch_idx(k, tcur, tend, qh, qt)).start()
+                for j in range(C):
+                    tri_copy(k, j, tri_fetch_idx(k, j, tcur_k, tend_k,
+                                                 qh, qt)).start()
 
             o_nodes.append(node)
             o_sps.append(sp)
-            o_tcurs.append(tcur)
-            o_tends.append(tend)
+            o_tcurs.extend(tcur_k)
+            o_tends.extend(tend_k)
             o_qhs.append(qh)
             o_qts.append(qt)
         return (tuple(o_nodes), tuple(o_sps), tuple(o_tcurs),
                 tuple(o_tends), tuple(o_qhs), tuple(o_qts))
 
     zeros = tuple(jnp.int32(0) for _ in range(K))
+    zeros_c = tuple(jnp.int32(0) for _ in range(K * C))
     final = jax.lax.while_loop(
         cond, body,
-        (tuple(start(k) for k in range(K)), zeros, zeros, zeros,
+        (tuple(start(k) for k in range(K)), zeros, zeros_c, zeros_c,
          zeros, zeros))
     if hbm:
         nodes_f, _, tcurs_f, tends_f, qhs_f, qts_f = final
         for k in range(K):
             node_copy(k, nodes_f[k]).wait()
-            tri_copy(k, tri_fetch_idx(k, tcurs_f[k], tends_f[k],
-                                      qhs_f[k], qts_f[k])).wait()
+            tc = [tcurs_f[k * C + j] for j in range(C)]
+            te = [tends_f[k * C + j] for j in range(C)]
+            for j in range(C):
+                tri_copy(k, j, tri_fetch_idx(k, j, tc, te,
+                                             qhs_f[k], qts_f[k])).wait()
 
 
 @partial(jax.jit, static_argnames=("any_hit", "hbm", "interpret",
-                                   "want_uv", "K", "S", "U", "mxu"))
+                                   "want_uv", "K", "S", "U", "mxu", "C"))
 def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
                 interpret: bool, want_uv: bool, K: int, S: int, U: int,
-                mxu: bool = False):
+                mxu: bool = False, C: int = 1):
     n = rays.origin.shape[0]
     block = K * S * 128
     t = max(1, -(-n // block))
@@ -625,7 +659,7 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
         for _ in range(n_out - 1)
     ]
     outs = pl.pallas_call(
-        partial(_kernel2, any_hit, hbm, want_uv, mxu, K, S, U),
+        partial(_kernel2, any_hit, hbm, want_uv, mxu, K, S, U, C),
         grid=(t,),
         in_specs=[table_spec, table_spec] + [ray_spec] * 8 + extra_specs,
         out_specs=[ray_spec] * n_out,
@@ -635,9 +669,9 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
                         pltpu.VMEM((K, 6, S, 128), jnp.float32),
                         pltpu.SMEM((K, 1), jnp.int32),
                         pltpu.VMEM((K, 16, 128), jnp.float32),
-                        pltpu.VMEM((K, 16, 128), jnp.float32),
+                        pltpu.VMEM((K, C, 16, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((K,)),
-                        pltpu.SemaphoreType.DMA((K,))],
+                        pltpu.SemaphoreType.DMA((K, C))],
         interpret=interpret,
     )(nodes3, woop3, *rays8, *extra)
 
@@ -656,7 +690,8 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
                   tables=None, hbm: bool | None = None,
                   interpret: bool = False, tile: int | None = None,
                   k: int | None = None, u: int | None = None,
-                  want_uv: bool = True, mxu: bool | None = None) -> Hits:
+                  want_uv: bool = True, mxu: bool | None = None,
+                  c: int | None = None) -> Hits:
     """Trace rays with the branch-free interleaved-packet kernel.
 
     tables: optional pre-packed (nodes3, woop3) from prepare_tables2
@@ -666,11 +701,13 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
     auto-selects by table size.
     tile/k/u: packet size, interleave width, triangle units (defaults
     from TPU_RT_TILE2 / TPU_RT_K / TPU_RT_U env).
-    mxu: matmul triangle unit (default TPU_RT_MXU env, on): whole-leaf
-    candidate groups via one (6U,10)@(10,tile) matmul per packet per
-    iteration; U defaults to MAX_LEAF so one iteration drains a leaf.
-    MXU dot products are f32-class but not bit-identical to the scalar
-    oracle's op order — hit ids can differ for edge-grazing rays.
+    mxu: matmul triangle unit (default TPU_RT_MXU env, OFF — measured
+    slower): whole-leaf candidate groups via one (6U,10)@(10,tile)
+    matmul per packet per iteration; U defaults to MAX_LEAF so one
+    iteration drains a leaf.  MXU dot products are f32-class but not
+    bit-identical to the scalar oracle's op order — hit ids can differ
+    for edge-grazing rays.
+    c: parallel leaf cursors per packet (default TPU_RT_C env).
     """
     if hbm is None:
         hbm = not tables2_fit_vmem(flat)
@@ -686,7 +723,8 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
     if u is None:
         u = MAX_LEAF if mxu else U
     return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret, want_uv,
-                       K if k is None else k, tile // 128, u, mxu)
+                       K if k is None else k, tile // 128, u, mxu,
+                       C if c is None else c)
 
 
 def prepare_tables2(flat: FlatBVH):
