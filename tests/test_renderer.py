@@ -93,6 +93,12 @@ def test_secondary_frames(knob, ray_type, tmp_path):
     assert img.shape == (H, W, 4)
     assert np.isfinite(img).all()
 
+    # Per-phase profiling: raygen/sort/trace all ran and were timed
+    # (device Morton sort is in the frame path when sort_secondary).
+    ph = stats["phase_s"]
+    assert ph["raygen"] > 0 and ph["sort"] > 0 and ph["trace"] > 0
+    assert r.phase_s["reconstruct"] > 0  # update_result above
+
     # Primary misses show the background.
     primary_tri = np.asarray(r.primary.hits.tri)
     pix = np.asarray(r.primary.slot_to_id)

@@ -21,9 +21,10 @@ import jax
 import jax.numpy as jnp
 
 from tpu_rt.bvh import BuildParams, Platform, load_or_build_bvh
-from tpu_rt.core.math import morton_sort_order, to_abgr
+from tpu_rt.core.math import to_abgr
 from tpu_rt.core.types import Hits, Rays
 from tpu_rt.raygen import RayGen
+from tpu_rt.rays.buffer import morton_sort_device
 from tpu_rt.scene import Camera, Scene
 from tpu_rt.shade import count_hits, reconstruct_image
 from tpu_rt.trace import device_bvh, trace_wavefront
@@ -45,6 +46,8 @@ class RendererParams:
     # "auto": packet Pallas kernel on TPU when the tables fit VMEM, else the
     # portable XLA wavefront tracer.  "pallas"/"xla" force one.
     tracer: str = "auto"
+    # Directory for a jax.profiler trace of render_frame (None = off).
+    profile_dir: str | None = None
 
 
 @dataclass
@@ -130,7 +133,11 @@ class Renderer:
         (Renderer.cc:112-152)."""
         dbvh = self._ensure_bvh()
         self.camera = camera
+        self.phase_s = {"raygen": 0.0, "sort": 0.0, "trace": 0.0,
+                        "reconstruct": 0.0}
+        t0 = time.perf_counter()
         rays, s2i, i2s = self.raygen.primary(camera, self.width, self.height)
+        self.phase_s["raygen"] += time.perf_counter() - t0
         self.primary = BatchRecord(
             rays=rays, hits=None, slot_to_id=s2i, id_to_slot=i2s, input_range=(0, rays.origin.shape[0])
         )
@@ -165,6 +172,7 @@ class Renderer:
         # the tunneled TPU platform.
         _ = int(jnp.sum(hits.tri))
         dt = time.perf_counter() - t0
+        self.phase_s["trace"] += dt
         if count:
             self.trace_time_s += dt
             self.rays_traced += int(rays.origin.shape[0])
@@ -191,6 +199,7 @@ class Renderer:
             return True
 
         max_dist = p.ao_radius if p.ray_type == "ao" else float(self.camera.far)
+        t0 = time.perf_counter()
         out = self.raygen.ao(
             self.primary.rays,
             self.primary.hits,
@@ -200,6 +209,7 @@ class Renderer:
             self._new_batch,
             seed=p.seed,
         )
+        self.phase_s["raygen"] += time.perf_counter() - t0
         self._new_batch = False
         if out is None:
             self._batch = None
@@ -207,17 +217,25 @@ class Renderer:
         rays, s2i, i2s, rng = out
 
         if p.sort_secondary:
-            order = morton_sort_order(np.asarray(rays.origin), np.asarray(rays.dirn))
-            inv = np.empty_like(order)
-            inv[order] = np.arange(order.size)
+            # Fully device-side 192-bit Morton sort (the reference round-
+            # trips keys through a host qsort, RayBuffer.cc:256-324; the
+            # TPU path keys, sorts, and permutes rays on device — only the
+            # ID<->slot maps, which reconstruction reads host-side anyway,
+            # come back).
+            t0 = time.perf_counter()
+            order_dev = morton_sort_device(rays.origin, rays.dirn)
             rays = Rays(
-                origin=rays.origin[order],
-                dirn=rays.dirn[order],
-                tmin=rays.tmin[order],
-                tmax=rays.tmax[order],
+                origin=rays.origin[order_dev],
+                dirn=rays.dirn[order_dev],
+                tmin=rays.tmin[order_dev],
+                tmax=rays.tmax[order_dev],
             )
+            order = np.asarray(order_dev)
+            inv = np.empty_like(order)
+            inv[order] = np.arange(order.size, dtype=order.dtype)
             s2i = np.asarray(s2i)[order]
             i2s = inv[np.asarray(i2s)]
+            self.phase_s["sort"] += time.perf_counter() - t0
 
         self._batch = BatchRecord(
             rays=rays, hits=None, slot_to_id=np.asarray(s2i), id_to_slot=np.asarray(i2s), input_range=rng
@@ -241,11 +259,21 @@ class Renderer:
         — the primary-ray count, or primary HITS x num_samples for
         secondary types — NOT the number of rays physically traced (which
         for AO/diffuse includes degenerate tmax=-1 rays for primary
-        misses and would inflate the rate by the miss fraction)."""
-        self.begin_frame(camera)
-        total_rays = self.get_total_num_rays()
-        while self.next_batch():
-            self.trace_batch()
+        misses and would inflate the rate by the miss fraction).
+
+        Per-phase wall-clock (raygen/sort/trace/reconstruct) accumulates
+        in self.phase_s and is returned under "phase_s"; set
+        RendererParams.profile_dir to also capture a jax.profiler trace
+        of the frame (SURVEY section 5 tracing/profiling row)."""
+        import contextlib
+
+        prof = (jax.profiler.trace(self.params.profile_dir)
+                if self.params.profile_dir else contextlib.nullcontext())
+        with prof:
+            self.begin_frame(camera)
+            total_rays = self.get_total_num_rays()
+            while self.next_batch():
+                self.trace_batch()
         mrays_per_s = (
             total_rays / (self.trace_time_s * 1e6) if self.trace_time_s > 0 else float("inf")
         )
@@ -254,6 +282,7 @@ class Renderer:
             "rays_traced": self.rays_traced,
             "trace_time_s": self.trace_time_s,
             "mrays_per_s": mrays_per_s,
+            "phase_s": dict(self.phase_s),
         }
 
     # -- reconstruction ------------------------------------------------------
@@ -261,6 +290,14 @@ class Renderer:
     def update_result(self) -> np.ndarray:
         """Reconstruct the frame RGBA image [h, w, 4] f32
         (Renderer::updateResult, Renderer.cc:421-445)."""
+        t0 = time.perf_counter()
+        try:
+            return self._update_result()
+        finally:
+            if hasattr(self, "phase_s"):
+                self.phase_s["reconstruct"] += time.perf_counter() - t0
+
+    def _update_result(self) -> np.ndarray:
         p = self.params
         num_pixels = self.width * self.height
         if p.ray_type == "primary":
