@@ -21,17 +21,18 @@ def _xla_routing(tables, rays, any_hit=False):
     return trace_wavefront(tables, rays, any_hit=any_hit)
 
 
-def _packet_routing(hbm, interpret, tile, k, u, tables, rays, any_hit=False):
+def _packet_routing(hbm, interpret, tile, k, u, c, tables, rays,
+                    any_hit=False):
     from tpu_rt.trace.packet2 import _trace2_jit
 
     nodes3, woop3 = tables
     return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret,
-                       False, k, tile // 128, u)
+                       False, k, tile // 128, u, False, c)
 
 
 def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
                         tile: int | None = None, k: int | None = None,
-                        u: int | None = None):
+                        u: int | None = None, c: int | None = None):
     """Resolve the fastest routing tracer for the current backend/scene.
 
     Returns (fn, kind, tables) where fn(tables, rays, any_hit) -> Hits is
@@ -45,7 +46,7 @@ def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
     import jax
 
     from tpu_rt.trace.packet2 import (
-        K, TILE, U, prepare_tables2, tables2_fit_vmem,
+        C, K, TILE, U, prepare_tables2, tables2_fit_vmem,
     )
 
     on_tpu = jax.default_backend() == "tpu"
@@ -54,7 +55,7 @@ def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
         if tables is not None:
             hbm = not tables2_fit_vmem(flat)
             fn = partial(_packet_routing, hbm, interpret,
-                         tile or TILE, k or K, u or U)
+                         tile or TILE, k or K, u or U, c or C)
             return fn, ("packet-hbm" if hbm else "packet"), tables
         if prefer == "packet":
             raise ValueError("packet tracer requested but scene exceeds "
