@@ -159,17 +159,17 @@ def main() -> None:
     any_hit = False
     num_rays = WIDTH * HEIGHT  # metric numerator (App.cc:188-204)
 
-    from tpu_rt.trace.packet2 import prepare_tables2, tables2_fit_vmem, trace_packet2
+    from tpu_rt.trace.packet2 import prepare_tables2, tables2_residency, trace_packet2
 
     tracer = os.environ.get("BENCH_TRACER", "auto")
     tables = None
-    hbm = not tables2_fit_vmem(flat)
+    hbm = tables2_residency(flat)
     if tracer == "auto" and jax.default_backend() != "tpu":
         tracer = "xla"  # compiled Pallas requires the TPU backend
     if tracer in ("auto", "pallas"):
         tables = prepare_tables2(flat)
         if tables is not None:
-            tracer = "pallas-hbm" if hbm else "pallas"
+            tracer = "pallas" if hbm == "vmem" else f"pallas-{hbm}"
     if tables is None:
         tracer = "xla"
 

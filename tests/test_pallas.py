@@ -153,6 +153,24 @@ def test_packet2_hbm_any_hit(setup):
     assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
 
 
+def test_packet2_mixed_residency(setup):
+    """hbm="mixed": nodes VMEM-resident, triangle blocks DMA-streamed —
+    the residency auto-picked for scenes whose node table fits VMEM but
+    whose triangle table does not (conference/fairy class).  Bit-exact
+    with the oracle like every other residency."""
+    scene, flat = setup
+    n = 2 * 512 + 61
+    o, d, tmin, tmax = _rays(scene, n, seed=11)
+    tmax[::6] = -1.0
+    s_id, s_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), interpret=True,
+                         tile=512, k=2, hbm="mixed")
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    hit = s_id >= 0
+    np.testing.assert_allclose(np.asarray(hits.t)[hit], s_t[hit],
+                               rtol=1e-5, atol=1e-6)
+
+
 @pytest.mark.parametrize("c,hbm", [(2, False), (3, False), (2, True)])
 def test_packet2_multi_cursor(setup, c, hbm):
     """C parallel leaf cursors drain C queue entries per iteration; hit

@@ -61,7 +61,7 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
     from tpu_rt.raygen.generators import gen_ao_rays
     from tpu_rt.scene import Camera, Scene, procedural
     from tpu_rt.trace import device_bvh
-    from tpu_rt.trace.packet2 import (prepare_tables2, tables2_fit_vmem,
+    from tpu_rt.trace.packet2 import (prepare_tables2, tables2_residency,
                                       trace_packet2)
     from tpu_rt.trace.xla_tracer import trace_wavefront
 
@@ -74,13 +74,13 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
     any_hit = False
 
     tables = prepare_tables2(flat)
-    hbm = not tables2_fit_vmem(flat)
+    hbm = tables2_residency(flat)
     tracer = os.environ.get("BS_TRACER", "auto")
     if tracer == "auto":
         if jax.default_backend() != "tpu" or tables is None:
             tracer = "xla"
         else:
-            tracer = "pallas-hbm" if hbm else "pallas"
+            tracer = "pallas" if hbm == "vmem" else f"pallas-{hbm}"
     dbvh = device_bvh(flat) if (ray_type != "primary"
                                 or tracer == "xla") else None
 

@@ -38,7 +38,7 @@ def main() -> None:
     from tpu_rt.raygen import RayGen
     from tpu_rt.scene import Camera, Scene, procedural
     from tpu_rt.trace import device_bvh
-    from tpu_rt.trace.packet2 import (prepare_tables2, tables2_fit_vmem,
+    from tpu_rt.trace.packet2 import (prepare_tables2, tables2_residency,
                                       trace_packet2)
     from tpu_rt.trace.xla_tracer import trace_wavefront
 
@@ -63,7 +63,7 @@ def main() -> None:
         any_hit = ray_type == "ao"
 
     tables = prepare_tables2(flat)
-    hbm = not tables2_fit_vmem(flat)
+    hbm = tables2_residency(flat)
     n = int(rays.origin.shape[0])
     print(f"{scene_name} {ray_type}: {n} rays, hbm={hbm}")
 

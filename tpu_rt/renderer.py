@@ -107,11 +107,11 @@ class Renderer:
         return self._dbvh
 
     def _select_tracer(self) -> None:
-        from tpu_rt.trace.packet2 import prepare_tables2, tables2_fit_vmem
+        from tpu_rt.trace.packet2 import prepare_tables2, tables2_residency
 
         choice = self.params.tracer
         self._packet_tables = None
-        self._packet_hbm = not tables2_fit_vmem(self.flat)
+        self._packet_hbm = tables2_residency(self.flat)
         if choice == "xla":
             self.active_tracer = "xla"
             return

@@ -46,17 +46,18 @@ def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
     import jax
 
     from tpu_rt.trace.packet2 import (
-        C, K, TILE, U, prepare_tables2, tables2_fit_vmem,
+        C, K, TILE, U, prepare_tables2, tables2_residency,
     )
 
     on_tpu = jax.default_backend() == "tpu"
     if prefer == "packet" or (prefer == "auto" and on_tpu):
         tables = prepare_tables2(flat)
         if tables is not None:
-            hbm = not tables2_fit_vmem(flat)
+            hbm = tables2_residency(flat)
             fn = partial(_packet_routing, hbm, interpret,
                          tile or TILE, k or K, u or U, c or C)
-            return fn, ("packet-hbm" if hbm else "packet"), tables
+            kind = "packet" if hbm == "vmem" else f"packet-{hbm}"
+            return fn, kind, tables
         if prefer == "packet":
             raise ValueError("packet tracer requested but scene exceeds "
                              "packing limits")

@@ -177,6 +177,28 @@ def tables2_fit_vmem(flat: FlatBVH) -> bool:
     return nodes_b + woop_b <= VMEM_TABLE_BUDGET
 
 
+def tables2_residency(flat: FlatBVH) -> str:
+    """Auto table placement: "vmem" (both resident), "mixed" (nodes
+    resident, triangles DMA-streamed — node fetches are the traversal
+    critical path, triangle blocks prefetch behind the leaf queue), or
+    "hbm" (both streamed)."""
+    nodes_b = int(np.asarray(flat.nodes).shape[0]) * 64
+    woop_b = int(np.asarray(flat.tri_woop).shape[0]) * 64
+    if nodes_b + woop_b <= VMEM_TABLE_BUDGET:
+        return "vmem"
+    if nodes_b <= VMEM_TABLE_BUDGET:
+        return "mixed"
+    return "hbm"
+
+
+def _residency_flags(hbm) -> tuple[bool, bool]:
+    """(nodes_hbm, tris_hbm) from a residency mode (str/bool)."""
+    if isinstance(hbm, str):
+        return {"vmem": (False, False), "mixed": (False, True),
+                "hbm": (True, True)}[hbm]
+    return (bool(hbm), bool(hbm))
+
+
 def _flat_to_rows(x, S):
     """Relayout (1, S*128) -> (S, 128) via static lane slices + sublane
     concat (Mosaic rejects the equivalent reshape as an unsupported shape
@@ -197,8 +219,8 @@ def _fetch_col(table_ref, idx):
     return _fetch_col_block(table_ref, idx)[:, 0:1]
 
 
-def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
-             K: int, S: int, U: int, C: int,
+def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
+             mxu: bool, K: int, S: int, U: int, C: int,
              nodes_ref, woop_ref,
              ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
              *rest):
@@ -283,9 +305,10 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
         return pltpu.make_async_copy(
             woop_ref.at[ti // 128], tri_scr.at[k, j], tsem.at[k, j])
 
-    if hbm:
-        for k in range(K):
+    for k in range(K):
+        if hbm_nodes:
             node_copy(k, start(k)).start()
+        if hbm_tris:
             for j in range(C):
                 tri_copy(k, j, jnp.int32(0)).start()
 
@@ -349,7 +372,7 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
             # overflow (each step enqueues at most 2).
             live = (node != SENT) & (qt - qh < QUEUE_DEPTH - 2)
             nd = node_fetch_idx(node)
-            if hbm:
+            if hbm_nodes:
                 node_copy(k, node).wait()
                 nblk = node_scr[k]                       # (16,128)
             else:
@@ -453,7 +476,7 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
             for j in range(C):
               tpos = tpos_k[j]
               tcur, tend = tcur_k[j], tend_k[j]
-              if hbm:
+              if hbm_tris:
                 tri_copy(k, j, tpos).wait()
                 tblk0 = tri_scr[k, j]
               else:
@@ -576,8 +599,9 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
                 for j in range(C):
                     tcur_k[j] = jnp.where(undecided, tcur_k[j], tend_k[j])
 
-            if hbm:
+            if hbm_nodes:
                 node_copy(k, node).start()
+            if hbm_tris:
                 for j in range(C):
                     tri_copy(k, j, tri_fetch_idx(k, j, tcur_k, tend_k,
                                                  qh, qt)).start()
@@ -597,22 +621,25 @@ def _kernel2(any_hit: bool, hbm: bool, want_uv: bool, mxu: bool,
         cond, body,
         (tuple(start(k) for k in range(K)), zeros, zeros_c, zeros_c,
          zeros, zeros))
-    if hbm:
+    if hbm_nodes or hbm_tris:
         nodes_f, _, tcurs_f, tends_f, qhs_f, qts_f = final
         for k in range(K):
-            node_copy(k, nodes_f[k]).wait()
-            tc = [tcurs_f[k * C + j] for j in range(C)]
-            te = [tends_f[k * C + j] for j in range(C)]
-            for j in range(C):
-                tri_copy(k, j, tri_fetch_idx(k, j, tc, te,
-                                             qhs_f[k], qts_f[k])).wait()
+            if hbm_nodes:
+                node_copy(k, nodes_f[k]).wait()
+            if hbm_tris:
+                tc = [tcurs_f[k * C + j] for j in range(C)]
+                te = [tends_f[k * C + j] for j in range(C)]
+                for j in range(C):
+                    tri_copy(k, j, tri_fetch_idx(k, j, tc, te,
+                                                 qhs_f[k], qts_f[k])).wait()
 
 
 @partial(jax.jit, static_argnames=("any_hit", "hbm", "interpret",
                                    "want_uv", "K", "S", "U", "mxu", "C"))
-def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
+def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm,
                 interpret: bool, want_uv: bool, K: int, S: int, U: int,
                 mxu: bool = False, C: int = 1):
+    hbm_nodes, hbm_tris = _residency_flags(hbm)
     n = rays.origin.shape[0]
     block = K * S * 128
     t = max(1, -(-n // block))
@@ -651,17 +678,20 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm: bool,
                                     memory_space=pltpu.VMEM)]
     ray_spec = pl.BlockSpec((1, K, S, 128), lambda i: (i, 0, 0, 0),
                             memory_space=pltpu.VMEM)
-    table_space = pltpu.ANY if hbm else pltpu.VMEM
-    table_spec = pl.BlockSpec(memory_space=table_space)
+    node_spec = pl.BlockSpec(
+        memory_space=pltpu.ANY if hbm_nodes else pltpu.VMEM)
+    woop_spec = pl.BlockSpec(
+        memory_space=pltpu.ANY if hbm_tris else pltpu.VMEM)
     n_out = 4 if want_uv else 2
     out_shape = [jax.ShapeDtypeStruct((t, K, S, 128), jnp.int32)] + [
         jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32)
         for _ in range(n_out - 1)
     ]
     outs = pl.pallas_call(
-        partial(_kernel2, any_hit, hbm, want_uv, mxu, K, S, U, C),
+        partial(_kernel2, any_hit, hbm_nodes, hbm_tris, want_uv, mxu,
+                K, S, U, C),
         grid=(t,),
-        in_specs=[table_spec, table_spec] + [ray_spec] * 8 + extra_specs,
+        in_specs=[node_spec, woop_spec] + [ray_spec] * 8 + extra_specs,
         out_specs=[ray_spec] * n_out,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((K, STACK_DEPTH), jnp.int32),
@@ -696,9 +726,10 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
 
     tables: optional pre-packed (nodes3, woop3) from prepare_tables2
     (device-resident) to skip per-call packing.
-    hbm: keep tables HBM-resident and stream blocks by per-packet
-    double-buffered DMA (for scenes whose tables exceed VMEM); default
-    auto-selects by table size.
+    hbm: table residency — "vmem" (both VMEM-resident), "mixed" (nodes
+    resident, triangle blocks DMA-streamed), "hbm" (both streamed,
+    per-packet double-buffered); bools mean "vmem"/"hbm"; default
+    auto-selects by table sizes (tables2_residency).
     tile/k/u: packet size, interleave width, triangle units (defaults
     from TPU_RT_TILE2 / TPU_RT_K / TPU_RT_U env).
     mxu: matmul triangle unit (default TPU_RT_MXU env, OFF — measured
@@ -710,7 +741,9 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
     c: parallel leaf cursors per packet (default TPU_RT_C env).
     """
     if hbm is None:
-        hbm = not tables2_fit_vmem(flat)
+        hbm = tables2_residency(flat)
+    if isinstance(hbm, bool):
+        hbm = "hbm" if hbm else "vmem"
     if tables is None:
         tables = prepare_tables2(flat)
         if tables is None:
