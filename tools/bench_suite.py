@@ -51,14 +51,15 @@ TRIS = {"knob": "12.6K", "sponza": "121.4K", "bunny": "144.5K",
 
 
 def bench_row(scene_name: str, ray_type: str, width: int, height: int,
-              repeats: int, chain: int, samples: int = 1,
-              ao_radius: float = 5.0) -> dict:
+              repeats: int, chain: int, samples: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
 
     from tpu_rt.bvh import load_or_build_bvh
     from tpu_rt.raygen import RayGen
     from tpu_rt.raygen.generators import gen_ao_rays
+    from tpu_rt.rays.buffer import morton_sort_device
+    from tpu_rt.core.types import Rays
     from tpu_rt.scene import Camera, Scene, procedural
     from tpu_rt.trace import device_bvh
     from tpu_rt.trace.packet2 import (prepare_tables2, tables2_residency,
@@ -93,11 +94,25 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
         else:
             primary_hits = trace_wavefront(dbvh, rays)
         num_rays = int(np.sum(np.asarray(primary_hits.tri) >= 0)) * samples
+        # AO radius: the reference flag default is 5.0 on scenes tens of
+        # units across (its cookbook tunes per scene: 0.3 fairy, 1.5
+        # sanmiguel, grtcmdline.txt); the procedural surrogates span ~2
+        # units, so scale-equivalent locality is radius ∝ scene extent.
+        # BS_AO_RADIUS=abs:<v> forces an absolute value.
+        spec = os.environ.get("BS_AO_RADIUS", "rel:0.1")
+        kind_r, val = spec.split(":")
+        extent = float(np.linalg.norm(hi - lo))
+        ao_radius = float(val) * (extent if kind_r == "rel" else 1.0)
         max_dist = ao_radius if ray_type == "ao" else camera.far
         rays, _, _ = gen_ao_rays(
             rays.origin, rays.dirn, primary_hits.t, primary_hits.tri,
             jnp.asarray(scene.tri_normal), samples, jnp.float32(max_dist),
             jnp.uint32(0))
+        # Coherence sort (device Morton, NOT timed — the reference metric
+        # excludes raygen/sort/reconstruct, App.cc:188-204).
+        order = morton_sort_device(rays.origin, rays.dirn)
+        rays = Rays(origin=rays.origin[order], dirn=rays.dirn[order],
+                    tmin=rays.tmin[order], tmax=rays.tmax[order])
         any_hit = ray_type == "ao"
 
     def run(reps=1):
@@ -166,7 +181,12 @@ def main() -> None:
             " App.cc:188-204; secondary numerator = primary hits x samples,"
             " Renderer.cc:221-238).  Scenes are procedural surrogates with"
             " the reference scenes' triangle counts; baselines are the"
-            " reference's published GPU numbers (BASELINE.md).", "",
+            " reference's published GPU numbers (BASELINE.md).  Secondary"
+            " rays are device-Morton-sorted before tracing (sort excluded"
+            " from the metric, as in the reference); AO radius is scale-"
+            "equivalent (0.1 x scene extent — the flag default 5.0 assumes"
+            " the real scenes' tens-of-units span; cf. the per-scene radii"
+            " in grtcmdline.txt).", "",
             f"Updated: round 2 ({time.strftime('%Y-%m-%d')}).", "",
             "| Scene | Ray type | Mray/s | Baseline | vs_baseline |",
             "|---|---|---|---|---|",

@@ -55,12 +55,16 @@ def init_multihost(coordinator_address: str | None = None,
 
 def measure_scaling(flat, rays, routing=None, tables=None,
                     any_hit: bool = False, repeats: int = 3,
-                    warmup: int = 1) -> dict:
+                    warmup: int = 1, mode: str = "weak") -> dict:
     """Rays/s at 1 device vs all devices on the current platform; returns
     {"n_devices", "rate_1", "rate_n", "efficiency"} where efficiency =
     (rate_n / n) / rate_1 (the BASELINE north-star >=0.85 metric).
 
-    rays: the GLOBAL batch (padded to a multiple of the device count).
+    rays: the PER-DEVICE batch in "weak" mode (default: every device
+    traces this batch, the throughput-scaling convention the rays/s
+    north star implies), or the GLOBAL batch in "strong" mode (fixed
+    total work split across devices — per-device fixed overheads then
+    count against efficiency).
     Timing is fenced by a device-scalar readback (block_until_ready does
     not reliably fence on the tunneled TPU platform).
     """
@@ -78,8 +82,13 @@ def measure_scaling(flat, rays, routing=None, tables=None,
     def rate(mesh_devices) -> float:
         mesh = make_ray_mesh(mesh_devices)
         k = len(mesh_devices)
-        take = (rays.origin.shape[0] // k) * k
-        sub = jax.tree_util.tree_map(lambda x: x[:take], rays)
+        if mode == "weak":
+            sub = (rays if k == 1 else jax.tree_util.tree_map(
+                lambda x: jnp.concatenate([x] * k), rays))
+            take = int(sub.origin.shape[0])
+        else:
+            take = (rays.origin.shape[0] // k) * k
+            sub = jax.tree_util.tree_map(lambda x: x[:take], rays)
         srays = shard_rays(sub, mesh)
         if tables is None:
             tb = replicate_bvh(flat, mesh)
