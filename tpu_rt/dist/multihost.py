@@ -74,6 +74,10 @@ def measure_scaling(flat, rays, routing=None, tables=None,
     from tpu_rt.trace import _xla_routing
 
     if routing is None:
+        if tables is not None:
+            raise ValueError(
+                "tables given without routing: pass the (routing, tables) "
+                "pair from make_routing_tracer together, or neither")
         routing, tables = _xla_routing, None  # resolved per-mesh below
 
     devices = jax.devices()

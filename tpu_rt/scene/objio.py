@@ -268,7 +268,218 @@ def _parse_index(token: str, counts: tuple[int, int, int]) -> tuple[int, int, in
     return out[0], out[1], out[2]
 
 
-def import_wavefront_mesh(path: str) -> Mesh:
+def import_wavefront_mesh(path: str, engine: str = "auto") -> Mesh:
+    """Import an OBJ file.
+
+    engine: "numpy" (vectorized token parse — the default path; a
+    hairball-class 6.5M-tri file parses in seconds where the per-corner
+    scalar loop takes minutes), "scalar" (the straightforward line loop,
+    kept as the parity oracle), or "auto" (numpy with scalar fallback on
+    malformed input).  Both produce IDENTICAL meshes: same vertex
+    welding order (first occurrence), same submesh order (first usemtl
+    use), same fan triangulation (tests/test_scene.py pins parity).
+    """
+    if engine in ("auto", "numpy"):
+        try:
+            return _import_wavefront_mesh_numpy(path)
+        except Exception:
+            if engine == "numpy":
+                raise
+    return _import_wavefront_mesh_scalar(path)
+
+
+def _parse_float_block(tokens: np.ndarray, marker_pos: np.ndarray,
+                       counts: np.ndarray, k: int, pad: float = 0.0):
+    """First k numeric fields after each marker as [rows, k] f32; rows
+    with fewer than k fields are padded with `pad`."""
+    rows = marker_pos.shape[0]
+    if rows == 0:
+        return np.zeros((0, k), np.float32)
+    out = np.full((rows, k), pad, np.float32)
+    for j in range(k):
+        have = counts > j
+        if not have.any():
+            break
+        out[have, j] = tokens[marker_pos[have] + 1 + j].astype(np.float64)
+    return out
+
+
+def _import_wavefront_mesh_numpy(path: str) -> Mesh:
+    """Vectorized OBJ parse: one pass classifies lines, then each
+    directive class is parsed as a flat numpy token array (reference
+    importer behavior per MeshWavefrontIO.cc:449-469; see module doc)."""
+    base_dir = os.path.dirname(os.path.abspath(path))
+    with open(path, "r", errors="replace") as f:
+        lines = f.read().splitlines()
+
+    v_lines: list = []
+    v_ln: list = []
+    vt_lines: list = []
+    vt_ln: list = []
+    vn_lines: list = []
+    vn_ln: list = []
+    f_lines: list = []
+    f_ln: list = []
+    ev_ln: list = [-1]
+    ev_name: list = [""]
+    materials: dict[str, Material] = {}
+    for i, l in enumerate(lines):
+        if len(l) < 2:
+            continue
+        c0, c1 = l[0], l[1]
+        if c0 == "v":
+            if c1 == " " or c1 == "\t":
+                v_lines.append(l)
+                v_ln.append(i)
+            elif c1 == "t":
+                vt_lines.append(l)
+                vt_ln.append(i)
+            elif c1 == "n":
+                vn_lines.append(l)
+                vn_ln.append(i)
+        elif c0 == "f" and (c1 == " " or c1 == "\t"):
+            f_lines.append(l)
+            f_ln.append(i)
+        elif c0 == "u" and l.startswith("usemtl"):
+            t = l.split()
+            ev_ln.append(i)
+            ev_name.append(t[1] if len(t) > 1 else "")
+        elif c0 == "m" and l.startswith("mtllib"):
+            t = l.split()
+            _parse_mtl(os.path.join(base_dir, " ".join(t[1:])), materials)
+
+    def tok_block(block_lines, directive):
+        """(tokens U-array, marker positions, per-line field counts)."""
+        toks = np.asarray(" ".join(block_lines).split())
+        if toks.size == 0:
+            return toks, np.zeros(0, np.int64), np.zeros(0, np.int64)
+        marks = np.flatnonzero(toks == directive)
+        # Lines may hold stray repeats of the directive token only as
+        # data (never for v/vt/vn/f numerics) — marker count must match.
+        if marks.size != len(block_lines):
+            raise ValueError("irregular OBJ block")
+        counts = np.diff(np.append(marks, toks.size)) - 1
+        return toks, marks, counts
+
+    vtok, vmark, vcnt = tok_block(v_lines, "v")
+    if (vcnt < 3).any():
+        raise ValueError("short v line")
+    positions = _parse_float_block(vtok, vmark, np.minimum(vcnt, 3), 3)
+    ttok, tmark, tcnt = tok_block(vt_lines, "vt")
+    texcoords = _parse_float_block(ttok, tmark, np.minimum(tcnt, 2), 2)
+    texcoords[:, 1] = 1.0 - texcoords[:, 1]  # reference flips V (:293)
+    ntok, nmark, ncnt = tok_block(vn_lines, "vn")
+    if (ncnt < 3).any():
+        raise ValueError("short vn line")
+    normals = _parse_float_block(ntok, nmark, np.minimum(ncnt, 3), 3)
+
+    ftok, fmark, fcnt = tok_block(f_lines, "f")
+    fcnt = fcnt.copy()
+    keep_f = fcnt >= 3  # legacy skips degenerate faces (<3 corners)
+    # Corner tokens in file order, with their face id.
+    corner_mask = np.ones(ftok.size, bool)
+    corner_mask[fmark] = False
+    face_of_tok = np.searchsorted(fmark, np.arange(ftok.size),
+                                  side="right") - 1
+    corners = ftok[corner_mask]
+    face_of = face_of_tok[corner_mask]
+    ok_c = keep_f[face_of]
+    corners, face_of = corners[ok_c], face_of[ok_c]
+
+    # Split 'p/t/n' forms (np.char: this numpy predates np.strings.partition).
+    parts = np.char.partition(corners, "/")
+    p_str, rest = parts[..., 0], parts[..., 2]
+    parts2 = np.char.partition(rest, "/")
+    t_str, n_str = parts2[..., 0], parts2[..., 2]
+
+    def parse_idx(s, count_per_corner):
+        missing = np.char.str_len(s) == 0
+        raw = np.where(missing, "0", s).astype(np.int64)
+        return np.where(missing, -1,
+                        np.where(raw > 0, raw - 1, count_per_corner + raw))
+
+    f_ln_arr = np.asarray(f_ln, np.int64)
+    line_of_corner = f_ln_arr[face_of]
+    vcnt_at = np.searchsorted(np.asarray(v_ln, np.int64), line_of_corner)
+    tcnt_at = np.searchsorted(np.asarray(vt_ln, np.int64), line_of_corner)
+    ncnt_at = np.searchsorted(np.asarray(vn_ln, np.int64), line_of_corner)
+    pidx = parse_idx(p_str, vcnt_at)
+    tidx = parse_idx(t_str, tcnt_at)
+    nidx = parse_idx(n_str, ncnt_at)
+    if pidx.size and (pidx.max() >= positions.shape[0] or pidx.min() < -1):
+        raise ValueError("position index out of range")
+
+    # Vertex welding on (p,t,n), first-occurrence order (legacy parity).
+    order = np.lexsort((nidx, tidx, pidx))
+    ps, ts, ns = pidx[order], tidx[order], nidx[order]
+    new_grp = np.ones(order.size, bool)
+    if order.size:
+        new_grp[1:] = (ps[1:] != ps[:-1]) | (ts[1:] != ts[:-1]) | \
+                      (ns[1:] != ns[:-1])
+    gid_sorted = np.cumsum(new_grp) - 1
+    gid = np.empty(order.size, np.int64)
+    gid[order] = gid_sorted
+    starts = np.flatnonzero(new_grp)
+    first_occ = (np.minimum.reduceat(order, starts) if order.size
+                 else np.zeros(0, np.int64))
+    rank_order = np.argsort(first_occ, kind="stable")
+    rank = np.empty_like(rank_order)
+    rank[rank_order] = np.arange(rank_order.size)
+    out_idx = rank[gid]  # per-corner output vertex id
+    rep_corner = np.empty(rank_order.size, np.int64)  # group -> a corner
+    rep_corner[out_idx] = np.arange(out_idx.size)
+    rp, rt, rn = pidx[rep_corner], tidx[rep_corner], nidx[rep_corner]
+    out_pos = positions[np.clip(rp, 0, max(positions.shape[0] - 1, 0))]
+    out_pos[rp < 0] = 0.0
+    valid_t = (rt >= 0) & (rt < texcoords.shape[0])
+    out_tex = np.zeros((rt.size, 2), np.float32)
+    out_tex[valid_t] = texcoords[rt[valid_t]]
+    valid_n = (rn >= 0) & (rn < normals.shape[0])
+    out_nrm = np.zeros((rn.size, 3), np.float32)
+    out_nrm[valid_n] = normals[rn[valid_n]]
+    any_tex = bool((tidx >= 0).any())
+    any_nrm = bool((nidx >= 0).any())
+
+    # Fan triangulation (vectorized ragged expansion).
+    kept_faces = np.flatnonzero(keep_f)
+    kcnt = fcnt[kept_faces]
+    # First-corner offset of each kept face within `corners`.
+    face_start = np.zeros(kept_faces.size, np.int64)
+    if kept_faces.size:
+        face_start[1:] = np.cumsum(kcnt)[:-1]
+    ntri = kcnt - 2
+    tri_face = np.repeat(np.arange(kept_faces.size), ntri)
+    tri_start = np.zeros(kept_faces.size, np.int64)
+    if kept_faces.size:
+        tri_start[1:] = np.cumsum(ntri)[:-1]
+    j = np.arange(tri_face.size) - tri_start[tri_face]
+    base = face_start[tri_face]
+    tris = np.stack([out_idx[base],
+                     out_idx[base + j + 1],
+                     out_idx[base + j + 2]], axis=1).astype(np.int32)
+
+    # Material per face -> per tri; submeshes in first-use order.
+    mtl_of_face = (np.searchsorted(np.asarray(ev_ln, np.int64),
+                                   f_ln_arr[kept_faces], side="right") - 1)
+    mtl_of_tri = mtl_of_face[tri_face]
+    uniq, first = np.unique(mtl_of_tri, return_index=True)
+    uniq_in_order = uniq[np.argsort(first, kind="stable")]
+    submeshes, mats = [], []
+    for m in uniq_in_order:
+        name = ev_name[m]
+        submeshes.append(np.ascontiguousarray(tris[mtl_of_tri == m]))
+        mats.append(materials.get(name, Material(name=name or "default")))
+
+    return Mesh(
+        positions=np.ascontiguousarray(out_pos.astype(np.float32)),
+        normals=(np.ascontiguousarray(out_nrm) if any_nrm else None),
+        texcoords=(np.ascontiguousarray(out_tex) if any_tex else None),
+        submeshes=submeshes,
+        materials=mats,
+    )
+
+
+def _import_wavefront_mesh_scalar(path: str) -> Mesh:
     positions: list = []
     texcoords: list = []
     normals: list = []

@@ -541,11 +541,15 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
                 hit_t = jnp.where(upd, tb2, hit_t)
                 hit_tri = jnp.where(upd, idb2, hit_tri)
                 if want_uv:
+                    # Tie-break consistently: on exact t ties `eq` marks
+                    # several candidates; u/v must come from the SAME
+                    # candidate the id selection picked (max tri id).
+                    eq_id = eq & (tid_col == idb)
                     ub = _flat_to_rows(jnp.max(
-                        jnp.where(eq, uu_, -jnp.inf), axis=0,
+                        jnp.where(eq_id, uu_, -jnp.inf), axis=0,
                         keepdims=True), S)
                     vb = _flat_to_rows(jnp.max(
-                        jnp.where(eq, vv_, -jnp.inf), axis=0,
+                        jnp.where(eq_id, vv_, -jnp.inf), axis=0,
                         keepdims=True), S)
                     hit_u = jnp.where(upd, ub, hit_u)
                     hit_v = jnp.where(upd, vb, hit_v)
