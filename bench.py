@@ -117,18 +117,26 @@ def scaling_main() -> None:
     camera = Camera.for_bbox(lo, hi)
     rays, _, _ = RayGen().primary(camera, WIDTH, HEIGHT)
     routing, kind, tables = make_routing_tracer(flat)
-    out = measure_scaling(flat, rays, routing=routing, tables=tables,
-                          repeats=REPEATS, warmup=WARMUP)
+    # Strong mode is the HEADLINE (round-2 review: weak mode traces a
+    # per-device COPY of the batch with zero communication, which scales
+    # at ~100% trivially; the honest north-star check is fixed global
+    # work split across devices).  Weak is reported alongside.
+    strong = measure_scaling(flat, rays, routing=routing, tables=tables,
+                             repeats=REPEATS, warmup=WARMUP, mode="strong")
+    weak = measure_scaling(flat, rays, routing=routing, tables=tables,
+                           repeats=REPEATS, warmup=WARMUP, mode="weak")
     result = {
-        "metric": f"{SCENE}_scaling_efficiency_{out['n_devices']}dev",
-        "value": round(out["efficiency"], 4),
+        "metric": f"{SCENE}_scaling_efficiency_{strong['n_devices']}dev",
+        "value": round(strong["efficiency"], 4),
         "unit": "fraction",
-        "vs_baseline": round(out["efficiency"] / 0.85, 4),
+        "vs_baseline": round(strong["efficiency"] / 0.85, 4),
         "detail": {
-            "scene": SCENE, "tracer": kind,
-            "rate_1_mrays": round(out["rate_1_rays_per_s"] / 1e6, 3),
-            "rate_n_mrays": round(out["rate_n_rays_per_s"] / 1e6, 3),
-            "n_devices": out["n_devices"],
+            "scene": SCENE, "tracer": kind, "mode": "strong",
+            "rate_1_mrays": round(strong["rate_1_rays_per_s"] / 1e6, 3),
+            "rate_n_mrays": round(strong["rate_n_rays_per_s"] / 1e6, 3),
+            "weak_efficiency": round(weak["efficiency"], 4),
+            "weak_rate_n_mrays": round(weak["rate_n_rays_per_s"] / 1e6, 3),
+            "n_devices": strong["n_devices"],
             "backend": jax.default_backend(),
         },
     }

@@ -8,12 +8,6 @@ from tpu_rt.bvh import build_sbvh, flatten_bvh
 from tpu_rt.core.types import make_rays
 from tpu_rt.scene import Scene, procedural
 from tpu_rt.trace import trace_flat_scalar
-from tpu_rt.trace.pallas_tracer import (
-    TILE,
-    pack_kernel_tables,
-    tables_fit_vmem,
-    trace_packet_pallas,
-)
 
 
 @pytest.fixture(scope="module")
@@ -34,50 +28,7 @@ def _rays(scene, n, seed=0):
     return origin, d.astype(np.float32), np.zeros(n, np.float32), np.full(n, 4 * size, np.float32)
 
 
-def test_packet_matches_oracle(setup):
-    scene, flat = setup
-    n = TILE + 300  # one full tile + one padded tile
-    o, d, tmin, tmax = _rays(scene, n)
-    s_id, s_t, s_u, s_v = trace_flat_scalar(flat, o, d, tmin, tmax)
-    hits = trace_packet_pallas(flat, make_rays(o, d, tmin, tmax), interpret=True)
-    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
-    hit = s_id >= 0
-    np.testing.assert_allclose(np.asarray(hits.t)[hit], s_t[hit], rtol=1e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(hits.u)[hit], s_u[hit], rtol=1e-3, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(hits.v)[hit], s_v[hit], rtol=1e-3, atol=1e-4)
 
-
-def test_packet_any_hit(setup):
-    scene, flat = setup
-    o, d, tmin, tmax = _rays(scene, 600, seed=1)
-    c_id, c_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
-    hits = trace_packet_pallas(flat, make_rays(o, d, tmin, tmax), any_hit=True, interpret=True)
-    a_id = np.asarray(hits.tri)
-    np.testing.assert_array_equal(a_id >= 0, c_id >= 0)
-    # anyHit t can be any accepted intersection, never closer than closest.
-    hit = c_id >= 0
-    assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
-
-
-def test_packet_degenerate_rays(setup):
-    scene, flat = setup
-    o, d, tmin, tmax = _rays(scene, 256, seed=2)
-    tmax[::3] = -1.0
-    hits = trace_packet_pallas(flat, make_rays(o, d, tmin, tmax), interpret=True)
-    assert np.all(np.asarray(hits.tri)[::3] == -1)
-    s_id, _, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
-    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
-
-
-def test_pack_tables(setup):
-    scene, flat = setup
-    packed = pack_kernel_tables(flat)
-    assert packed is not None
-    nodes_pk, woop_pk = packed
-    assert nodes_pk.shape[1] == 128 and woop_pk.shape[1] == 128
-    # Record 0 round-trips: first 16 lanes of row 0 equal node row 0.
-    np.testing.assert_array_equal(nodes_pk[0, :12], np.asarray(flat.nodes)[0, :12])
-    assert tables_fit_vmem(flat)
 
 
 def test_packet_interior(setup):
@@ -85,11 +36,11 @@ def test_packet_interior(setup):
     flat2 = flatten_bvh(build_sbvh(scene2), scene2.tri_vtx_index, scene2.vtx_pos)
     o, d, tmin, tmax = _rays(scene2, 500, seed=3)
     s_id, s_t, _, _ = trace_flat_scalar(flat2, o, d, tmin, tmax)
-    hits = trace_packet_pallas(flat2, make_rays(o, d, tmin, tmax), interpret=True)
+    hits = trace_packet2(flat2, make_rays(o, d, tmin, tmax), interpret=True)
     np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
 
 
-# ---- generation-2 branch-free interleaved kernel ----
+# ---- the branch-free interleaved kernel ----
 
 from tpu_rt.trace.packet2 import (  # noqa: E402
     TILE as TILE2,

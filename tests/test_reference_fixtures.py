@@ -84,20 +84,22 @@ def test_decoded_reference_camera_renders_frame(tmp_path):
     assert stats["rays_traced"] == 64 * 48
     img = r.update_result()
     assert img.shape == (48, 64, 4)
-    # Visibility lock: the decoded camera frames the model (~2/3 of the
-    # 64x48 frame covers geometry when decoding is correct; a broken
-    # decode points the camera into empty space).
+    # Visibility lock: the decoded camera frames the model (most of the
+    # 64x48 frame covers geometry — blob + ground plane — when decoding
+    # is correct; a broken decode points the camera into empty space).
     assert r.primary.hits is not None
     tri = np.asarray(r.primary.hits.tri)
     frac = float((tri >= 0).mean())
-    assert 0.55 < frac < 0.8, frac
+    assert 0.6 < frac < 0.95, frac
 
 
 # Pinned SBVH build stats (sah_cost rounded to 6 digits).  These catch
 # builder drift the way the reference's README node/tri counts do.
 _PINNED = {
-    "knob": dict(num_inner_nodes=4235, num_leaf_nodes=4236,
-                 refs=12571, num_duplicates=1, sah=8.055555),
+    # knob includes its ground plane (reference Mori Knob is an
+    # object-on-plane scene; see procedural.make_blob ground=True).
+    "knob": dict(num_inner_nodes=4234, num_leaf_nodes=4235,
+                 refs=12571, num_duplicates=1, sah=3.802043),
     "sponza": dict(num_inner_nodes=39412, num_leaf_nodes=39413,
                    refs=123243, num_duplicates=1859, sah=6.970194),
 }

@@ -200,6 +200,21 @@ def main() -> None:
             if "error" in r:
                 lines.append(f"| {r['scene']} | {r['ray_type']} | "
                              f"FAILED: {r['error'][:60]} | | |")
+        # North-star axes (VERDICT r2 #5): differentiable-path and
+        # scaling-efficiency rows, from their artifact files when present
+        # (tools/bench_diff.py writes BENCH_DIFF.json lines;
+        # BENCH_MODE=scaling bench.py writes BENCH_SCALING.json).
+        for path, title in (("BENCH_DIFF.json", "Differentiable path "
+                             "(forward render / full grad step, dense-XLA "
+                             "diff recompute over packet-kernel routing)"),
+                            ("BENCH_SCALING.json", "Scaling efficiency "
+                             "(strong mode = fixed global work; weak "
+                             "alongside; 0.85 is the BASELINE bar)")):
+            if os.path.exists(path):
+                lines += ["", f"## {title}", "", "```json"]
+                with open(path) as f:
+                    lines += [ln.rstrip() for ln in f if ln.strip()]
+                lines += ["```"]
         with open("BENCH_SUITE.md", "w") as f:
             f.write("\n".join(lines) + "\n")
         print(f"wrote BENCH_SUITE.md + {out_path}")

@@ -109,7 +109,6 @@ def main() -> None:
     from tpu_rt.bvh import load_or_build_bvh
     from tpu_rt.raygen import RayGen
     from tpu_rt.scene import Camera, Scene, procedural
-    from tpu_rt.trace.pallas_tracer import pack_kernel_tables
 
     scene = Scene(procedural.scene_by_name(scene_name))
     flat, _ = load_or_build_bvh(scene, cache_dir="bvhcache")
@@ -120,13 +119,18 @@ def main() -> None:
     tmin = np.asarray(rays.tmin)
     tmax = np.asarray(rays.tmax)
 
-    packed = pack_kernel_tables(flat)
+    # Links with packed leaf encoding (first | count<<24), straight from
+    # the FlatBVH (leaf_counts supplies the count field).
     nodes_raw = np.asarray(flat.nodes)
-    # links with packed leaf encoding (first | count<<24), from pack tables
-    nodes_pk = packed[0]
+    rows = nodes_raw
     n_nodes = nodes_raw.shape[0]
-    rows = nodes_pk.reshape(-1)[: n_nodes * 16].reshape(n_nodes, 16)
-    links = np.ascontiguousarray(rows[:, 12:16]).view(np.int32)
+    links = np.ascontiguousarray(nodes_raw[:, 12:16]).view(np.int32).copy()
+    counts_tab = np.asarray(flat.leaf_counts)
+    for c in range(2):
+        leaf = links[:, c] < 0
+        first = ~links[leaf, c]
+        links[leaf, c] = ~(first | (counts_tab[first].astype(np.int64)
+                                    << 24)).astype(np.int64).astype(np.int32)
     woop = np.asarray(flat.tri_woop)
 
     n = o.shape[0]

@@ -57,6 +57,27 @@ def bvh_cache_key(scene, platform: Platform, params: BuildParams) -> int:
     return hash_bits(scene.hash(), platform.hash(), params.hash(), LAYOUT_VERSION)
 
 
+def platform_from_env() -> Platform:
+    """Default build platform, with env overrides for SAH retuning
+    sweeps (tools/sah_retune.py): TPU_RT_SAH_NODE_COST / _TRI_COST /
+    _MIN_LEAF / _MAX_LEAF.  The cache key includes the platform hash,
+    so overridden builds never collide with the defaults."""
+    p = Platform.gpu()
+    nc = os.environ.get("TPU_RT_SAH_NODE_COST")
+    tc = os.environ.get("TPU_RT_SAH_TRI_COST")
+    mn = os.environ.get("TPU_RT_SAH_MIN_LEAF")
+    mx = os.environ.get("TPU_RT_SAH_MAX_LEAF")
+    if nc or tc or mn or mx:
+        p = Platform(
+            name=f"GPU-tuned-{nc or 1}-{tc or 1}-{mn or p.min_leaf_size}-{mx or p.max_leaf_size}",
+            sah_node_cost=float(nc) if nc else p.sah_node_cost,
+            sah_triangle_cost=float(tc) if tc else p.sah_triangle_cost,
+            min_leaf_size=int(mn) if mn else p.min_leaf_size,
+            max_leaf_size=int(mx) if mx else p.max_leaf_size,
+        )
+    return p
+
+
 def load_or_build_bvh(
     scene,
     platform: Platform | None = None,
@@ -69,7 +90,7 @@ def load_or_build_bvh(
     backend: "auto" prefers the native C++ builder (tpu_rt.native) and falls
     back to numpy; "native"/"numpy" force one (native raises if missing).
     """
-    platform = platform or Platform.gpu()
+    platform = platform or platform_from_env()
     params = params or BuildParams()
 
     path = None

@@ -154,23 +154,49 @@ def _fbm3(p: np.ndarray, seed: int, octaves: int = 5) -> np.ndarray:
     return out
 
 
-def make_blob(target_tris: int, seed: int = 1, roughness: float = 0.25) -> Mesh:
+def make_blob(target_tris: int, seed: int = 1, roughness: float = 0.25,
+              ground: bool = False) -> Mesh:
     """Displaced icosphere — a stand-in for scanned models (bunny/dragon).
 
     Triangle count is 20 * 4^k for the smallest k >= target; the mesh is then
     decimated to exactly ``target_tris`` by dropping the last triangles.
+
+    ground=True adds a 2-triangle ground quad under the blob (total tri
+    count unchanged: the blob gets target-2).  The reference Mori Knob
+    is an object ON a square plane — without one, an isolated convex
+    blob has zero AO self-occlusion, which makes the AO/diffuse rows
+    structurally unlike every reference AO scene (all interiors or
+    object-on-plane; README.md:76-81).
     """
+    blob_tris = target_tris - 2 if ground else target_tris
     pos, idx = _icosahedron()
-    while idx.shape[0] < target_tris:
+    while idx.shape[0] < blob_tris:
         pos, idx = _subdivide(pos, idx)
     pos = pos / np.linalg.norm(pos, axis=1, keepdims=True)
     disp = _fbm3(pos, seed)
     pos = pos * (1.0 + roughness * disp[:, None] * 0.5)
-    idx = idx[:target_tris]
+    idx = idx[:blob_tris]
     used = np.unique(idx)
     remap = np.full(pos.shape[0], -1, np.int64)
     remap[used] = np.arange(used.size)
-    return _mesh_from_tris(pos[used], remap[idx], materials=[Material(name="blob")], splits=[idx.shape[0]])
+    pos, idx = pos[used], remap[idx]
+    if not ground:
+        return _mesh_from_tris(pos, idx,
+                               materials=[Material(name="blob")],
+                               splits=[idx.shape[0]])
+    y0 = float(pos[:, 1].min())
+    ext = float(np.abs(pos).max()) * 2.5
+    quad = np.array([[-ext, y0, -ext], [ext, y0, -ext],
+                     [ext, y0, ext], [-ext, y0, ext]], np.float32)
+    v = pos.shape[0]
+    gidx = np.array([[v, v + 1, v + 2], [v, v + 2, v + 3]], np.int64)
+    return _mesh_from_tris(
+        np.concatenate([pos, quad]), np.concatenate([idx, gidx]),
+        materials=[Material(name="blob"),
+                   Material(name="ground",
+                            diffuse=np.array([0.7, 0.7, 0.7, 1.0],
+                                             np.float32))],
+        splits=[idx.shape[0], 2])
 
 
 def make_interior(target_tris: int, seed: int = 2) -> Mesh:
@@ -284,7 +310,7 @@ def make_hairball(target_tris: int, seed: int = 3) -> Mesh:
 # Reference scene-suite stand-ins with matched triangle counts
 # (counts from reference README.md:46-58; see BASELINE.md).
 _SUITE = {
-    "knob": lambda: make_blob(12_570, seed=10, roughness=0.08),
+    "knob": lambda: make_blob(12_570, seed=10, roughness=0.08, ground=True),
     "sponza": lambda: make_interior(121_384, seed=11),
     "bunny": lambda: make_blob(144_500, seed=12, roughness=0.2),
     "conference": lambda: make_interior(350_949, seed=13),
