@@ -171,3 +171,22 @@ def test_ao_seed_sensitivity(knob):
         r.render_frame(camera)
         out.append(r.update_result())
     assert not np.array_equal(out[0], out[1])  # rotation angles depend on seed
+
+
+def test_compact_degenerate_matches_default(knob, tmp_path):
+    """Opt-in dead-ray compaction (dynamic-fetch analogue, SURVEY §2.3
+    row 3): dead-last sort + live-prefix trace must produce the same
+    image as the default full-batch path."""
+    mesh, scene, camera = knob
+    imgs = []
+    for compact in (False, True):
+        params = RendererParams(
+            ray_type="ao", num_samples=2, ao_radius=3.0,
+            sort_secondary=True, max_batch=1 << 12, cache_dir=None,
+            seed=7, compact_degenerate=compact,
+        )
+        r = Renderer(W, H, params)
+        r.set_scene(scene)
+        r.render_frame(camera)
+        imgs.append(r.update_result())
+    np.testing.assert_array_equal(imgs[0], imgs[1])

@@ -153,6 +153,20 @@ def make_kernel(mode, iters):
                     jnp.abs(nxt[r, 0]) % (NB * 128) for r in range(R))
                 return acc, new_nodes
 
+
+            if mode in ("div8", "mul8", "divmul"):
+                # f32 divide vs multiply issue cost on (R,128) vregs:
+                # decides the division-free-accept question (roadmap #1)
+                # without building the kernel variant.
+                v = acc
+                for _ in range(8):
+                    if mode == "div8":
+                        v = v / (v + 1.5)
+                    elif mode == "mul8":
+                        v = v * (v + 1.5)
+                    else:
+                        v = v / (v + 1.5) if _ % 2 == 0 else v * (v + 1.5)
+                return v * 1e-6 + acc * 0.5, tuple(n + 1 for n in nodes)
             raise ValueError(mode)
 
         init = (acc0, tuple(jnp.int32(r * 7 + 1) for r in range(R)))
@@ -205,6 +219,6 @@ def run(mode):
 
 if __name__ == "__main__":
     modes = sys.argv[1:] or ["empty", "x16", "fetch16", "fetch16T",
-                             "onehot_stack", "rowstep"]
+                             "onehot_stack", "rowstep", "div8", "mul8"]
     for m in modes:
         run(m)

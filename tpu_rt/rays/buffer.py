@@ -69,6 +69,55 @@ def morton_sort_device(origin: jnp.ndarray, dirn: jnp.ndarray) -> jnp.ndarray:
     return out[6]
 
 
+@jax.jit
+def sort_dead_last_device(rays: Rays) -> jnp.ndarray:
+    """Morton permutation with the degenerate flag (tmax<0) as the most
+    significant key: live rays first in Morton order, dead rays last.
+
+    This is the TPU analogue of the reference's dynamic ray fetch
+    (kepler_dynamic_fetch.cu:48,398-401): instead of lanes refilling
+    from a work queue, dead work is compacted out of the traced prefix
+    (pair with trace_live_prefix).  NOTE the measured default (v5e,
+    tools/ao_probe.py, knob AO): packing live rays densely makes
+    per-packet traversal unions superlinearly LARGER, so whole-batch
+    compaction is net-negative for the packet kernel and the renderer
+    leaves it OFF; it exists for schedulers/backends where dead-slot
+    cost dominates (e.g. the XLA wavefront tracer, whose while_loop
+    runs until the LAST lane finishes regardless of packet structure).
+    """
+    keys = ray_morton_keys_device(rays.origin, rays.dirn)
+    dead = (rays.tmax < 0).astype(jnp.uint32)
+    n = rays.origin.shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    operands = [dead] + [keys[:, 5 - k] for k in range(6)] + [perm]
+    return jax.lax.sort(operands, num_keys=7, is_stable=True)[7]
+
+
+def trace_live_prefix(trace_fn, rays: Rays, live: int,
+                      pad_to: int = 2048) -> Hits:
+    """Trace only the first ceil(live/pad_to)*pad_to rays of a
+    dead-last-sorted batch; dead suffix results are misses by
+    construction (tri=-1, t=tmax), exactly what the kernel would emit
+    for tmax<0 rays (packet2 padding semantics).
+
+    trace_fn: rays -> Hits.  live: number of tmax>=0 rays (host
+    scalar — the frame path already knows it: primary hits x samples,
+    Renderer.cc:221-238)."""
+    n = int(rays.origin.shape[0])
+    m = min(n, -(-max(int(live), 0) // pad_to) * pad_to)
+    if m >= n:
+        return trace_fn(rays)
+    sub = jax.tree_util.tree_map(lambda x: x[:m], rays)
+    h = trace_fn(sub)
+    fill = n - m
+    return Hits(
+        tri=jnp.concatenate([h.tri, jnp.full((fill,), -1, jnp.int32)]),
+        t=jnp.concatenate([h.t, rays.tmax[m:]]),
+        u=jnp.concatenate([h.u, jnp.zeros((fill,), jnp.float32)]),
+        v=jnp.concatenate([h.v, jnp.zeros((fill,), jnp.float32)]),
+    )
+
+
 class RayBuffer:
     """Host-side handle bundling rays, results, and the ID<->slot maps."""
 

@@ -40,6 +40,15 @@ class RendererParams:
     ao_radius: float = 5.0
     num_samples: int = 8
     sort_secondary: bool = True
+    # Opt-in dynamic-fetch analogue: sort degenerate (primary-miss)
+    # rays to the end of each secondary batch and trace only the live
+    # prefix (rays/buffer.py sort_dead_last_device/trace_live_prefix).
+    # OFF by default: measured net-negative for the packet kernel on
+    # v5e (dense live packets have superlinearly larger traversal
+    # unions — ARCHITECTURE.md round-3 AO schedule sweeps); useful for
+    # the XLA wavefront tracer whose batch while_loop runs until the
+    # last live lane finishes.
+    compact_degenerate: bool = False
     max_batch: int = 1 << 21
     seed: int = 0
     cache_dir: str | None = "bvhcache"
@@ -147,6 +156,7 @@ class Renderer:
             self.primary.hits = self._timed_trace(self.primary.rays, any_hit=False, count=False)
         self._new_batch = True
         self._batch: BatchRecord | None = None
+        self._batch_live = None
         self._batches: list[BatchRecord] = []
 
     def _timed_trace(self, rays: Rays, any_hit: bool, count: bool = True) -> Hits:
@@ -216,6 +226,7 @@ class Renderer:
             return False
         rays, s2i, i2s, rng = out
 
+        self._batch_live = None
         if p.sort_secondary:
             # Fully device-side 192-bit Morton sort (the reference round-
             # trips keys through a host qsort, RayBuffer.cc:256-324; the
@@ -223,7 +234,13 @@ class Renderer:
             # ID<->slot maps, which reconstruction reads host-side anyway,
             # come back).
             t0 = time.perf_counter()
-            order_dev = morton_sort_device(rays.origin, rays.dirn)
+            if p.compact_degenerate:
+                from tpu_rt.rays.buffer import sort_dead_last_device
+
+                order_dev = sort_dead_last_device(rays)
+                self._batch_live = int(jnp.sum(rays.tmax >= 0))
+            else:
+                order_dev = morton_sort_device(rays.origin, rays.dirn)
             rays = Rays(
                 origin=rays.origin[order_dev],
                 dirn=rays.dirn[order_dev],
@@ -248,8 +265,34 @@ class Renderer:
         assert self._batch is not None
         t0 = self.trace_time_s
         any_hit = self.params.ray_type == "ao"  # needClosestHit for diffuse
-        self._batch.hits = self._timed_trace(self._batch.rays, any_hit=any_hit)
+        live = getattr(self, "_batch_live", None)
+        if live is not None:
+            from tpu_rt.rays.buffer import trace_live_prefix
+
+            jax.block_until_ready(self._batch.rays)
+            t1 = time.perf_counter()
+            hits = trace_live_prefix(
+                lambda r: self._trace_for_prefix(r, any_hit),
+                self._batch.rays, live)
+            _ = int(jnp.sum(hits.tri))
+            dt = time.perf_counter() - t1
+            self.phase_s["trace"] += dt
+            self.trace_time_s += dt
+            self.rays_traced += int(self._batch.rays.origin.shape[0])
+            self._batch.hits = hits
+        else:
+            self._batch.hits = self._timed_trace(self._batch.rays,
+                                                 any_hit=any_hit)
         return self.trace_time_s - t0
+
+    def _trace_for_prefix(self, rays: Rays, any_hit: bool) -> Hits:
+        if self.active_tracer == "pallas":
+            from tpu_rt.trace.packet2 import trace_packet2
+
+            return trace_packet2(self.flat, rays, any_hit=any_hit,
+                                 tables=self._packet_tables,
+                                 hbm=self._packet_hbm, want_uv=False)
+        return trace_wavefront(self._dbvh, rays, any_hit=any_hit)
 
     def render_frame(self, camera: Camera) -> dict:
         """Full frame: begin_frame + batch loop.  Returns timing/ray stats.
