@@ -203,7 +203,7 @@ def main() -> None:
         verified = verify_on_device(flat, dbvh, rays, any_hit, tables, hbm,
                                     VERIFY_RAYS)
 
-    chain = int(os.environ.get("BENCH_CHAIN", 4))
+    chain = int(os.environ.get("BENCH_CHAIN", 32))
 
     def run(repeats: int = 1):
         # Chain several independent traces per timing fence: each dispatch

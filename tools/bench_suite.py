@@ -149,7 +149,7 @@ def main() -> None:
     width = int(os.environ.get("BS_WIDTH", 1024))
     height = int(os.environ.get("BS_HEIGHT", 768))
     repeats = int(os.environ.get("BS_REPEATS", 3))
-    chain = int(os.environ.get("BS_CHAIN", 3))
+    chain = int(os.environ.get("BS_CHAIN", 32))
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SUITE.json"
     rows = ([tuple(a.split(":")) for a in sys.argv[2:]]
             if len(sys.argv) > 2 else ROWS)
@@ -179,7 +179,12 @@ def main() -> None:
             f"Measured with `tools/bench_suite.py` on {dev}, "
             f"{width}x{height}, kernel-time-only Mray/s (reference metric,"
             " App.cc:188-204; secondary numerator = primary hits x samples,"
-            " Renderer.cc:221-238).  Scenes are procedural surrogates with"
+            " Renderer.cc:221-238).  Timing chains "
+            f"{chain} traces per device-scalar fence: each python dispatch"
+            " through the tunneled platform costs ~6-10 ms that is NOT"
+            " kernel time (the reference times kernels with cudaEvents,"
+            " which excludes launch overhead the same way)."
+            "  Scenes are procedural surrogates with"
             " the reference scenes' triangle counts; baselines are the"
             " reference's published GPU numbers (BASELINE.md).  Secondary"
             " rays are device-Morton-sorted before tracing (sort excluded"
@@ -187,7 +192,7 @@ def main() -> None:
             "equivalent (0.1 x scene extent — the flag default 5.0 assumes"
             " the real scenes' tens-of-units span; cf. the per-scene radii"
             " in grtcmdline.txt).", "",
-            f"Updated: round 2 ({time.strftime('%Y-%m-%d')}).", "",
+            f"Updated: round 3 ({time.strftime('%Y-%m-%d')}).", "",
             "| Scene | Ray type | Mray/s | Baseline | vs_baseline |",
             "|---|---|---|---|---|",
         ]

@@ -91,7 +91,15 @@ def load_or_build_bvh(
     back to numpy; "native"/"numpy" force one (native raises if missing).
     """
     platform = platform or platform_from_env()
-    params = params or BuildParams()
+    if params is None:
+        params = BuildParams()
+        # Env override for the spatial-split alpha gate (mirrors the
+        # reference --sbvh-alpha flag; TPU_RT_SBVH_ALPHA=1e9 disables
+        # spatial splits — the hairball-class surrogate's dense
+        # overlapping ribbons blow up split duplication 16x otherwise).
+        alpha = os.environ.get("TPU_RT_SBVH_ALPHA")
+        if alpha:
+            params = BuildParams(split_alpha=float(alpha))
 
     path = None
     if cache_dir is not None:

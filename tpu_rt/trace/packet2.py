@@ -239,30 +239,39 @@ def _fetch_col(table_ref, idx):
 
 def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
              mxu: bool, count_iters: bool, K: int, S: int, U: int, C: int,
-             nodes_ref, woop_ref,
-             ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, tmin_ref, tmax_ref,
+             nodes_ref, woop_ref, rays_ref,
              *rest):
+    # Ray components live in ONE fused input block (1, K*8*S, 128) and
+    # hits in ONE fused output block (1, K*n_out*S, 128): one DMA each
+    # per grid step instead of 10 — separate component arrays measured
+    # ~67 us/group of serialized small-DMA latency (78% of knob's wall).
+    n_out = 4 if want_uv else 2
+
+    def rc(k, c):
+        base = (k * 8 + c) * S
+        return rays_ref[0, base:base + S, :]
+
     if mxu:
         rmat_ref, *rest = rest
     else:
         rmat_ref = None
     iters_ref = None
-    if want_uv:
-        hit_tri_ref, hit_t_ref, hit_u_ref, hit_v_ref, *rest = rest
-    else:
-        hit_tri_ref, hit_t_ref, *rest = rest
-        hit_u_ref = hit_v_ref = None
+    hits_ref, *rest = rest
     if count_iters:
         iters_ref, *rest = rest
     (stack_ref, queue_ref, ctx_ref, dsign_ref, node_scr, tri_scr,
      nsem, tsem) = rest
+
+    def hslot(k, c):
+        base = (k * n_out + c) * S
+        return slice(base, base + S)
     # Precompute idir/ood per packet into VMEM scratch.  Nothing vector
     # lives across loop iterations: the while state is 6 scalars per
     # packet; every step loads what it needs from refs.  (Keeping K
     # packets' ray context in registers spills: 14 vregs x 8 packets vs
     # 64 physical vregs.)
     for k in range(K):
-        dx, dy, dz = dx_ref[0, k], dy_ref[0, k], dz_ref[0, k]
+        dx, dy, dz = rc(k, 3), rc(k, 4), rc(k, 5)
 
         def rcp_dir(d):
             safe = jnp.where(jnp.abs(d) > OOEPS, d,
@@ -273,16 +282,17 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
         ctx_ref[k, 0] = idirx
         ctx_ref[k, 1] = idiry
         ctx_ref[k, 2] = idirz
-        ctx_ref[k, 3] = ox_ref[0, k] * idirx
-        ctx_ref[k, 4] = oy_ref[0, k] * idiry
-        ctx_ref[k, 5] = oz_ref[0, k] * idirz
+        ctx_ref[k, 3] = rc(k, 0) * idirx
+        ctx_ref[k, 4] = rc(k, 1) * idiry
+        ctx_ref[k, 5] = rc(k, 2) * idirz
 
-        tmax = tmax_ref[0, k]
-        hit_tri_ref[0, k] = jnp.full(tmax.shape, -1, jnp.int32)
-        hit_t_ref[0, k] = tmax
+        tmax = rc(k, 7)
+        hits_ref[0, hslot(k, 0), :] = jax.lax.bitcast_convert_type(
+            jnp.full(tmax.shape, -1, jnp.int32), jnp.float32)
+        hits_ref[0, hslot(k, 1), :] = tmax
         if want_uv:
-            hit_u_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
-            hit_v_ref[0, k] = jnp.zeros(tmax.shape, jnp.float32)
+            hits_ref[0, hslot(k, 2), :] = jnp.zeros(tmax.shape, jnp.float32)
+            hits_ref[0, hslot(k, 3), :] = jnp.zeros(tmax.shape, jnp.float32)
 
         # Packet direction-sign bits (near-first ordering key): bit a set
         # iff the packet's mean direction is positive along axis a.
@@ -291,7 +301,7 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
                            | ((jnp.sum(dz) >= 0).astype(jnp.int32) << 2))
 
     def start(k):
-        return jax.lax.select(jnp.any(tmax_ref[0, k] >= 0.0),
+        return jax.lax.select(jnp.any(rc(k, 7) >= 0.0),
                               jnp.int32(0), SENT)
 
     # Prefetch-descriptor helpers (HBM mode).  Both are pure functions of
@@ -362,12 +372,13 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
             # Padding rays carry tmax=-1, so hit_t starts at -1 and both
             # the slab far-clamp and the t<hit_t test self-mask them; no
             # separate `valid` vector is needed anywhere.
-            tmin = tmin_ref[0, k]
-            hit_t = hit_t_ref[0, k]
-            hit_tri = hit_tri_ref[0, k]
+            tmin = rc(k, 6)
+            hit_t = hits_ref[0, hslot(k, 1), :]
+            hit_tri = jax.lax.bitcast_convert_type(
+                hits_ref[0, hslot(k, 0), :], jnp.int32)
             if want_uv:
-                hit_u = hit_u_ref[0, k]
-                hit_v = hit_v_ref[0, k]
+                hit_u = hits_ref[0, hslot(k, 2), :]
+                hit_v = hits_ref[0, hslot(k, 3), :]
 
             # ---------------- leaf refill (masked) ----------------
             # Runs FIRST so the triangle prefetch issued last iteration
@@ -490,8 +501,8 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
             # or (1,1) "scalars" — a vector op costs per-VREG, so (S,1)
             # issues exactly like (S,128) and the re-broadcasts when
             # mixing widths double the cost (47.6ms vs 23.9ms on bunny).
-            ox, oy, oz = ox_ref[0, k], oy_ref[0, k], oz_ref[0, k]
-            dx, dy, dz = dx_ref[0, k], dy_ref[0, k], dz_ref[0, k]
+            ox, oy, oz = rc(k, 0), rc(k, 1), rc(k, 2)
+            dx, dy, dz = rc(k, 3), rc(k, 4), rc(k, 5)
             for j in range(C):
               tpos = tpos_k[j]
               tcur, tend = tcur_k[j], tend_k[j]
@@ -608,15 +619,16 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
               tcur_k[j] = jnp.where(tcur < tend,
                                     jnp.minimum(tcur + U, tend), tcur)
 
-            hit_t_ref[0, k] = hit_t
-            hit_tri_ref[0, k] = hit_tri
+            hits_ref[0, hslot(k, 1), :] = hit_t
+            hits_ref[0, hslot(k, 0), :] = jax.lax.bitcast_convert_type(
+                hit_tri, jnp.float32)
             if want_uv:
-                hit_u_ref[0, k] = hit_u
-                hit_v_ref[0, k] = hit_v
+                hits_ref[0, hslot(k, 2), :] = hit_u
+                hits_ref[0, hslot(k, 3), :] = hit_v
 
             if any_hit:
                 # Retire the packet once every valid ray has a hit.
-                undecided = jnp.any((tmax_ref[0, k] >= 0.0) & (hit_tri < 0))
+                undecided = jnp.any((rc(k, 7) >= 0.0) & (hit_tri < 0))
                 node = jnp.where(undecided, node, SENT)
                 qh = jnp.where(undecided, qh, qt)
                 for j in range(C):
@@ -688,6 +700,10 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm,
         prep(rays.dirn[:, 2], 0.0),
         prep(rays.tmin, 0.0), prep(rays.tmax, -1.0),
     ]
+    # ONE fused ray input (t, K*8*S, 128): separate per-component arrays
+    # cost 8 serialized ~6.7us block DMAs per grid step (measured 67-78
+    # us/group of pure overhead — 78% of knob primary's wall time).
+    fused = jnp.stack(rays8, axis=2).reshape(t, K * 8 * S, 128)
     extra = []
     extra_specs = []
     if mxu:
@@ -706,18 +722,18 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm,
         extra_specs = [pl.BlockSpec((1, K, 10, S * 128),
                                     lambda i: (i, 0, 0, 0),
                                     memory_space=pltpu.VMEM)]
-    ray_spec = pl.BlockSpec((1, K, S, 128), lambda i: (i, 0, 0, 0),
+    ray_spec = pl.BlockSpec((1, K * 8 * S, 128), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     node_spec = pl.BlockSpec(
         memory_space=pltpu.ANY if hbm_nodes else pltpu.VMEM)
     woop_spec = pl.BlockSpec(
         memory_space=pltpu.ANY if hbm_tris else pltpu.VMEM)
     n_out = 4 if want_uv else 2
-    out_shape = [jax.ShapeDtypeStruct((t, K, S, 128), jnp.int32)] + [
-        jax.ShapeDtypeStruct((t, K, S, 128), jnp.float32)
-        for _ in range(n_out - 1)
-    ]
-    out_specs = [ray_spec] * n_out
+    # ONE fused hit output (t, K*n_out*S, 128) f32; tri rows carry the
+    # int32 ids bit-cast (same small-DMA rationale as the input).
+    out_shape = [jax.ShapeDtypeStruct((t, K * n_out * S, 128), jnp.float32)]
+    out_specs = [pl.BlockSpec((1, K * n_out * S, 128), lambda i: (i, 0, 0),
+                              memory_space=pltpu.VMEM)]
     if count_iters:
         # Per-grid-step while-loop iteration count (profiling aid; the
         # reference's analog is its per-launch grid/occupancy prints).
@@ -728,7 +744,7 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm,
         partial(_kernel2, any_hit, hbm_nodes, hbm_tris, want_uv, mxu,
                 count_iters, K, S, U, C),
         grid=(t,),
-        in_specs=[node_spec, woop_spec] + [ray_spec] * 8 + extra_specs,
+        in_specs=[node_spec, woop_spec, ray_spec] + extra_specs,
         out_specs=out_specs,
         out_shape=out_shape,
         scratch_shapes=[pltpu.SMEM((K, STACK_DEPTH), jnp.int32),
@@ -740,18 +756,21 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm,
                         pltpu.SemaphoreType.DMA((K,)),
                         pltpu.SemaphoreType.DMA((K, C))],
         interpret=interpret,
-    )(nodes3, woop3, *rays8, *extra)
+    )(nodes3, woop3, fused, *extra)
 
     iters = None
     if count_iters:
-        *outs, iters_out = outs
+        hits_f, iters_out = outs
         iters = iters_out[:, 0, 0]
-    if want_uv:
-        hit_tri, hit_t, hit_u, hit_v = outs
-        u = hit_u.reshape(-1)[:n]
-        v = hit_v.reshape(-1)[:n]
     else:
-        hit_tri, hit_t = outs
+        (hits_f,) = outs
+    hv = hits_f.reshape(t, K, n_out, S, 128)
+    hit_tri = jax.lax.bitcast_convert_type(hv[:, :, 0], jnp.int32)
+    hit_t = hv[:, :, 1]
+    if want_uv:
+        u = hv[:, :, 2].reshape(-1)[:n]
+        v = hv[:, :, 3].reshape(-1)[:n]
+    else:
         u = v = jnp.zeros((n,), jnp.float32)
     hits = Hits(tri=hit_tri.reshape(-1)[:n], t=hit_t.reshape(-1)[:n],
                 u=u, v=v)
