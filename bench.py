@@ -159,7 +159,8 @@ def main() -> None:
     build_s = time.time() - t0
 
     lo, hi = scene.bbox()
-    camera = Camera.for_bbox(lo, hi)
+    camera = Camera.for_bbox(
+        lo, hi, elevation_deg=25.0 if SCENE == 'knob' else 0.0)
     raygen = RayGen()
     rays, _, _ = raygen.primary(camera, WIDTH, HEIGHT)
 

@@ -69,7 +69,12 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
     scene = Scene(procedural.scene_by_name(scene_name))
     flat, _ = load_or_build_bvh(scene, cache_dir="bvhcache")
     lo, hi = scene.bbox()
-    camera = Camera.for_bbox(lo, hi)
+    # Elevated framing for the object-on-plane scene (the reference
+    # knob camera signature looks down at its plane; edge-on the
+    # plane is invisible and the hit numerator collapses).
+    camera = Camera.for_bbox(lo, hi,
+                             elevation_deg=25.0 if scene_name == 'knob'
+                             else 0.0)
     rays, _, _ = RayGen().primary(camera, width, height)
     num_rays = width * height
     any_hit = False

@@ -231,19 +231,31 @@ class Camera:
     # -- framing -------------------------------------------------------------
 
     @classmethod
-    def for_bbox(cls, lo, hi, fov: float = 70.0) -> "Camera":
+    def for_bbox(cls, lo, hi, fov: float = 70.0,
+                 elevation_deg: float = 0.0) -> "Camera":
         """Auto-frame a bounding box (CameraControls::initForMesh,
         CameraControls.cc:330-350): stand back 0.75*size on +Z, near/far
-        proportional to scene size."""
+        proportional to scene size.
+
+        elevation_deg raises the viewpoint above the horizon, looking
+        down at the box center — the benchmark framing for
+        object-on-ground-plane scenes (the reference's Mori Knob camera
+        signature views the plane from above; a horizontal plane is
+        invisible edge-on from the default +Z view)."""
         lo = _np3(lo)
         hi = _np3(hi)
         center = (lo + hi) * 0.5
         size = float(np.linalg.norm(hi - lo))
         if size == 0.0:
             size = 1.0
+        e = float(np.deg2rad(elevation_deg))
+        offset = np.array([0.0, np.sin(e), np.cos(e)], np.float32)
+        position = center + offset * np.float32(size * 0.75)
+        fwd = (center - position).astype(np.float32)
+        fwd /= np.linalg.norm(fwd)
         return cls(
-            position=center + np.array([0.0, 0.0, size * 0.75], np.float32),
-            forward=np.array([0.0, 0.0, -1.0], np.float32),
+            position=position.astype(np.float32),
+            forward=fwd,
             up=np.array([0.0, 1.0, 0.0], np.float32),
             fov=fov,
             near=size * 0.0005,
