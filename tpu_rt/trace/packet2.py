@@ -810,14 +810,21 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
         if tables is None:
             raise ValueError("scene exceeds packet2 packing limits")
     nodes3, woop3 = tables
-    tile = TILE if tile is None else tile
+    streaming = hbm != "vmem"
+    if tile is None:
+        # Streamed residencies amortize per-record DMA latency better
+        # with wider packets and a shorter interleave (dragon hbm sweep,
+        # round 3: tile=4096/K=2 is +18% over 2048/4).
+        tile = 4096 if streaming else TILE
     assert tile % 128 == 0
+    if k is None:
+        k = 2 if streaming else K
     if mxu is None:
         mxu = MXU
     if u is None:
         u = MAX_LEAF if mxu else U
     return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret, want_uv,
-                       K if k is None else k, tile // 128, u, mxu,
+                       k, tile // 128, u, mxu,
                        C if c is None else c)
 
 
