@@ -61,7 +61,10 @@ from tpu_rt.core.types import FlatBVH, Hits, Rays
 # (tools/sweep2.py) run in-process.  U=3/K=4/TILE=2048 measured best on
 # v5e for VMEM-resident tables.
 TILE = int(os.environ.get("TPU_RT_TILE2", 2048))
-K = int(os.environ.get("TPU_RT_K", 4))
+# K=2 re-measured best across vmem scenes after the fused-I/O layout
+# (round 3, chain=32: bunny +24%, sponza +10%, knob +10% over the old
+# K=4 optimum — the fused single-DMA grid step shifted the knee).
+K = int(os.environ.get("TPU_RT_K", 2))
 U = int(os.environ.get("TPU_RT_U", 3))
 # C parallel leaf cursors per packet.  Leaf visits bind the iteration
 # count (bunny: ~215 leaf-visit steps vs ~100 node steps per packet, and
