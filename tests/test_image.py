@@ -78,6 +78,27 @@ def test_ppm_roundtrip(img, tmp_path):
     np.testing.assert_array_equal(flipped.data, img.data[::-1])
 
 
+def test_ppm_comments_and_maxval(img, tmp_path):
+    # Comment lines inside the header must be skipped, not parsed as
+    # pixel data; 2-byte-sample files (maxval > 255) must error loudly.
+    p = str(tmp_path / "c.ppm")
+    img.to_ppm(p)
+    with open(p, "rb") as f:
+        raw = f.read()
+    magic, rest = raw.split(b"\n", 1)
+    with open(p, "wb") as f:
+        f.write(magic + b"\n# a comment\n# another\n" + rest)
+    back = Image.from_ppm(p)
+    np.testing.assert_allclose(back.data[..., :3], img.data[..., :3],
+                               atol=1 / 255)
+
+    p16 = str(tmp_path / "wide.ppm")
+    with open(p16, "wb") as f:
+        f.write(b"P6\n2 2\n65535\n" + bytes(24))
+    with pytest.raises(ValueError, match="2-byte"):
+        Image.from_ppm(p16)
+
+
 def test_pixel_accessors():
     im = Image(4, 4)
     im.set_pixel(2, 1, (0.25, 0.5, 0.75, 1.0))

@@ -229,11 +229,32 @@ class Image:
     def from_ppm(cls, path: str) -> "Image":
         with open(path, "rb") as f:
             raw = f.read()
-        parts = raw.split(b"\n", 3)
-        assert parts[0].strip() == b"P6", "only binary PPM supported"
-        w, h = (int(v) for v in parts[1].split())
-        maxv = int(parts[2])
-        pix = np.frombuffer(parts[3], np.uint8, w * h * 3).reshape(h, w, 3)
+        # Header = magic, width, height, maxval as whitespace-separated
+        # tokens, with `#` comment lines allowed anywhere in between; the
+        # pixel block starts after the single whitespace byte that follows
+        # maxval.
+        pos, fields = 0, []
+        while len(fields) < 4:
+            if pos >= len(raw):
+                raise ValueError("truncated PPM header")
+            if raw[pos : pos + 1] == b"#":
+                pos = raw.index(b"\n", pos) + 1
+                continue
+            if raw[pos : pos + 1].isspace():
+                pos += 1
+                continue
+            end = pos
+            while end < len(raw) and not raw[end : end + 1].isspace():
+                end += 1
+            fields.append(raw[pos:end])
+            pos = end
+        if fields[0] != b"P6":
+            raise ValueError("only binary PPM (P6) supported")
+        w, h, maxv = int(fields[1]), int(fields[2]), int(fields[3])
+        if maxv > 255:
+            raise ValueError(f"2-byte PPM samples unsupported (maxval {maxv})")
+        pos += 1  # the single whitespace after maxval
+        pix = np.frombuffer(raw, np.uint8, w * h * 3, offset=pos).reshape(h, w, 3)
         return cls.from_rgba(pix.astype(np.float32) / maxv)
 
     def to_npy(self, path: str) -> None:

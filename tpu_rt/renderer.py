@@ -86,6 +86,7 @@ class Renderer:
         self._tri_material_dev = None
         self.trace_time_s = 0.0
         self.rays_traced = 0
+        self.rays_skipped = 0
 
     # -- setup ---------------------------------------------------------------
 
@@ -152,6 +153,7 @@ class Renderer:
         )
         self.trace_time_s = 0.0
         self.rays_traced = 0
+        self.rays_skipped = 0
         if self.params.ray_type != "primary":
             self.primary.hits = self._timed_trace(self.primary.rays, any_hit=False, count=False)
         self._new_batch = True
@@ -227,12 +229,13 @@ class Renderer:
         rays, s2i, i2s, rng = out
 
         self._batch_live = None
-        if p.sort_secondary:
+        if p.sort_secondary or p.compact_degenerate:
             # Fully device-side 192-bit Morton sort (the reference round-
             # trips keys through a host qsort, RayBuffer.cc:256-324; the
             # TPU path keys, sorts, and permutes rays on device — only the
             # ID<->slot maps, which reconstruction reads host-side anyway,
-            # come back).
+            # come back).  compact_degenerate implies the dead-last sort
+            # even when sort_secondary is off (it is a permutation too).
             t0 = time.perf_counter()
             if p.compact_degenerate:
                 from tpu_rt.rays.buffer import sort_dead_last_device
@@ -278,7 +281,14 @@ class Renderer:
             dt = time.perf_counter() - t1
             self.phase_s["trace"] += dt
             self.trace_time_s += dt
-            self.rays_traced += int(self._batch.rays.origin.shape[0])
+            # Count only rays physically traced: the live prefix, padded
+            # to the kernel tile (trace_live_prefix pad_to), clamped to
+            # the batch size.  The skipped dead suffix is recorded
+            # separately so frame stats stay auditable.
+            n_batch = int(self._batch.rays.origin.shape[0])
+            traced = min(n_batch, -(-max(live, 0) // 2048) * 2048)
+            self.rays_traced += traced
+            self.rays_skipped += n_batch - traced
             self._batch.hits = hits
         else:
             self._batch.hits = self._timed_trace(self._batch.rays,
@@ -323,6 +333,7 @@ class Renderer:
         return {
             "total_rays": total_rays,
             "rays_traced": self.rays_traced,
+            "rays_skipped": self.rays_skipped,
             "trace_time_s": self.trace_time_s,
             "mrays_per_s": mrays_per_s,
             "phase_s": dict(self.phase_s),

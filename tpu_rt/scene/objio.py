@@ -282,9 +282,18 @@ def import_wavefront_mesh(path: str, engine: str = "auto") -> Mesh:
     if engine in ("auto", "numpy"):
         try:
             return _import_wavefront_mesh_numpy(path)
-        except Exception:
+        except (ValueError, IndexError) as e:
+            # Only parse-shaped failures fall back to the scalar oracle
+            # (genuine I/O faults and bugs propagate — a silent bare-
+            # Exception fallback would mask them AND pay both the failed
+            # vectorized pass and the minutes-long scalar pass).
             if engine == "numpy":
                 raise
+            import warnings
+
+            warnings.warn(
+                f"numpy OBJ importer failed on {path!r} ({e!r}); "
+                "falling back to the scalar parser")
     return _import_wavefront_mesh_scalar(path)
 
 
