@@ -1,6 +1,7 @@
 """Multi-device sharding tests on the virtual 8-device CPU mesh
 (SURVEY.md section 4: sharding logic testable without a pod)."""
 
+import os
 import numpy as np
 import pytest
 
@@ -165,3 +166,44 @@ def test_scaling_smoke(setup):
     assert len(sharded_rays.origin.sharding.device_set) == 8
     rep = replicate_bvh(flat, mesh)
     assert len(rep.nodes.sharding.device_set) == 8
+
+
+def test_two_process_multihost():
+    """SURVEY section 4 multi-host-on-CPU: spawn 2 REAL processes that
+    join via jax.distributed.initialize (coordinator on localhost),
+    build a mesh spanning both processes' devices, and trace a batch
+    sharded across them; process 0 asserts the result equals its
+    single-device trace (tests/_multihost_worker.py)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "_multihost_worker.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="",
+               XLA_FLAGS="--xla_force_host_platform_device_count=2")
+    procs = [subprocess.Popen(
+        [_sys.executable, worker, str(i), "2", str(port)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        env=env, cwd=root) for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=300)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multihost workers timed out:\n" + "\n".join(outs))
+    if any(p.returncode != 0 for p in procs):
+        joined = "\n----\n".join(outs)
+        if "distributed" in joined and ("unimplemented" in joined.lower()
+                                        or "unavailable" in joined.lower()):
+            pytest.skip("jax.distributed unsupported on this platform:\n"
+                        + joined[-500:])
+        pytest.fail("multihost worker failed:\n" + joined)
+    assert "MULTIHOST_OK procs=2 devices=4" in outs[0], outs[0]
