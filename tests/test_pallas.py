@@ -104,6 +104,60 @@ def test_packet2_hbm_any_hit(setup):
     assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
 
 
+@pytest.mark.parametrize("hbm", ["vmem", "mixed", "hbm"])
+def test_packet2_bf16_nodes_matches_oracle(setup, hbm):
+    """bf16 node records (32 B/node, outward-rounded bounds + bit-half
+    links + hint stuffed in link0 bits 28-30): hit results must be
+    EXACTLY the oracle's in every residency — slab tests only became
+    conservative, triangle tests are unchanged f32."""
+    scene, flat = setup
+    n = 2 * 512 + 91
+    o, d, tmin, tmax = _rays(scene, n, seed=21)
+    tmax[::7] = -1.0
+    s_id, s_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), interpret=True,
+                         tile=512, k=2, hbm=hbm, bf16_nodes=True)
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    hit = s_id >= 0
+    np.testing.assert_allclose(np.asarray(hits.t)[hit], s_t[hit],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_packet2_bf16_any_hit(setup):
+    scene, flat = setup
+    o, d, tmin, tmax = _rays(scene, 600, seed=22)
+    c_id, c_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), any_hit=True,
+                         interpret=True, tile=512, k=2, bf16_nodes=True)
+    np.testing.assert_array_equal(np.asarray(hits.tri) >= 0, c_id >= 0)
+    hit = c_id >= 0
+    assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
+
+
+def test_bf16_round_dir_conservative():
+    from tpu_rt.trace.packet2 import _bf16_round_dir
+    import ml_dtypes
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.normal(size=4096).astype(np.float32) * 10.0 ** rng.integers(
+            -20, 20, 4096),
+        np.array([0.0, -0.0, 1.0, -1.0, np.inf, -np.inf, 1e-40, -1e-40],
+                 np.float32),
+    ])
+    dn = _bf16_round_dir(x, up=False).view(ml_dtypes.bfloat16).astype(
+        np.float32)
+    up = _bf16_round_dir(x, up=True).view(ml_dtypes.bfloat16).astype(
+        np.float32)
+    assert np.all(dn <= x) and np.all(up >= x)
+    # Within 1 bf16 ulp: round-trip of exact bf16 values is identity.
+    exact = up[np.isfinite(x)] == dn[np.isfinite(x)]
+    xf = x[np.isfinite(x)]
+    np.testing.assert_array_equal(exact,
+                                  xf == xf.astype(ml_dtypes.bfloat16)
+                                  .astype(np.float32))
+
+
 def test_packet2_mixed_residency(setup):
     """hbm="mixed": nodes VMEM-resident, triangle blocks DMA-streamed —
     the residency auto-picked for scenes whose node table fits VMEM but

@@ -117,17 +117,18 @@ class Renderer:
         return self._dbvh
 
     def _select_tracer(self) -> None:
-        from tpu_rt.trace.packet2 import prepare_tables2, tables2_residency
+        from tpu_rt.trace.packet2 import choose_node_format, prepare_tables2
 
         choice = self.params.tracer
         self._packet_tables = None
-        self._packet_hbm = tables2_residency(self.flat)
+        self._packet_hbm, bf16_nodes = choose_node_format(self.flat)
         if choice == "xla":
             self.active_tracer = "xla"
             return
         on_tpu = jax.default_backend() == "tpu"
         if choice == "pallas" or (choice == "auto" and on_tpu):
-            self._packet_tables = prepare_tables2(self.flat)
+            self._packet_tables = prepare_tables2(self.flat,
+                                                  bf16_nodes=bf16_nodes)
             if self._packet_tables is not None:
                 self.active_tracer = "pallas"
                 return

@@ -95,9 +95,46 @@ MAX_LEAF = 8
 VMEM_TABLE_BUDGET = 12 * 1024 * 1024
 
 
-def pack_tables2(flat: FlatBVH):
+def _bf16_round_dir(x: np.ndarray, up: bool) -> np.ndarray:
+    """Directed f32 -> bf16 rounding as uint16 bit patterns: up=False
+    rounds toward -inf, up=True toward +inf, so bf16 node bounds are
+    OUTWARD-rounded (lo <= true lo, hi >= true hi) and every slab test
+    against them is conservative — hit results are exactly preserved
+    (triangle tests stay f32)."""
+    x = np.ascontiguousarray(x, np.float32)
+    b = x.view(np.uint32)
+    tr = (b >> 16).astype(np.uint16)          # truncate-toward-zero bf16
+    trf = (tr.astype(np.uint32) << 16).view(np.float32)
+    sign = (tr & np.uint16(0x8000)) != 0
+    if up:
+        need = trf < x
+        adj = np.where(sign, tr - np.uint16(1), tr + np.uint16(1))
+    else:
+        need = trf > x
+        adj = np.where(sign, tr + np.uint16(1), tr - np.uint16(1))
+    return np.where(need, adj, tr).astype(np.uint16)
+
+
+def pack_tables2(flat: FlatBVH, bf16_nodes: bool = False):
     """Transposed kernel tables (nodes3, woop3, tri_index2) or None if the
     scene violates packing limits (count<=8 per leaf, refs < 2^24).
+
+    bf16_nodes=True emits the node table as (NB, 8, 128) int32
+    (32 B/node instead of 64): slots 0-5 pack the 12 outward-rounded
+    bf16 bound BIT PATTERNS two-per-int32 (bound 2j in the low half of
+    slot j, bound 2j+1 in the high half — widening bf16->f32 is then
+    just `slot << 16` / `slot & 0xFFFF0000` plus a bitcast), slots 6-7
+    the two int32 child links verbatim, with the 3-bit split-axis hint
+    stuffed into bits 28-30 of link0 (free in both encodings: inner
+    links are < 2^24 node indices and leaf links ~(first|count<<24)
+    always carry 111 there).  The table stays integer-typed end to end:
+    a bfloat16-typed table corrupts link halves that alias NaN patterns
+    (float ops canonicalize payloads) and Mosaic has no 16-bit dynamic
+    rotate; int32 carries the same bits with full op support.  This is
+    the TPU analog of the reference keeping nodes resident in the
+    texture cache (CudaTracerKernels.hh:185-187): dragon-class node
+    sets (301K x 32 B = 9.6 MB) drop inside the VMEM budget, enabling
+    true mixed residency, and hairball-class streams half the bytes.
 
     Leaf triangle runs are re-packed contiguously, never crossing a
     128-lane block, so a leaf's triangles are consecutive records.
@@ -176,20 +213,41 @@ def pack_tables2(flat: FlatBVH):
     axis = np.argmax(np.abs(sep), axis=1).astype(np.int32)
     c0_lower = (np.take_along_axis(sep, axis[:, None], 1)[:, 0]
                 >= 0).astype(np.int32)
-    links[:, 2] = axis | (c0_lower << 2)
+    hint = (axis | (c0_lower << 2)).astype(np.int32)
+    links[:, 2] = hint
     nodes[:, 12:16] = links.view(np.float32)
 
-    def transpose3(rows: np.ndarray) -> np.ndarray:
+    def transpose3(rows: np.ndarray, width: int = 16) -> np.ndarray:
         n = rows.shape[0]
-        padded = np.zeros((max(n, 1), 16), np.float32)
-        padded[:n, :rows.shape[1]] = rows[:, :16]
+        padded = np.zeros((max(n, 1), width), rows.dtype)
+        padded[:n, :rows.shape[1]] = rows[:, :width]
         nb = -(-padded.shape[0] // 128)
-        full = np.zeros((nb * 128, 16), np.float32)
+        full = np.zeros((nb * 128, width), rows.dtype)
         full[:padded.shape[0]] = padded
         return np.ascontiguousarray(
-            full.reshape(nb, 128, 16).transpose(0, 2, 1))
+            full.reshape(nb, 128, width).transpose(0, 2, 1))
 
-    return transpose3(nodes), transpose3(woop16)
+    if bf16_nodes:
+        if nodes.shape[0] >= (1 << COUNT_SHIFT):
+            return None  # inner links must fit the 24-bit field
+        u16 = np.zeros((nodes.shape[0], 12), np.uint16)
+        lo_slots = [0, 2, 4, 6, 8, 10]
+        hi_slots = [1, 3, 5, 7, 9, 11]
+        u16[:, lo_slots] = _bf16_round_dir(nodes[:, lo_slots], up=False)
+        u16[:, hi_slots] = _bf16_round_dir(nodes[:, hi_slots], up=True)
+        l0, l1 = links[:, 0], links[:, 1]
+        l0s = (np.where(l0 < 0, l0 & np.int32(~0x70000000), l0)
+               | (hint << 28))
+        i32 = np.zeros((nodes.shape[0], 8), np.int32)
+        i32[:, 0:6] = (u16[:, 0::2].astype(np.uint32)
+                       | (u16[:, 1::2].astype(np.uint32) << 16)
+                       ).view(np.int32)
+        i32[:, 6] = l0s
+        i32[:, 7] = l1
+        nodes_t = transpose3(i32, 8)
+    else:
+        nodes_t = transpose3(nodes)
+    return nodes_t, transpose3(woop16)
 
 
 def tables2_fit_vmem(flat: FlatBVH) -> bool:
@@ -198,12 +256,35 @@ def tables2_fit_vmem(flat: FlatBVH) -> bool:
     return nodes_b + woop_b <= VMEM_TABLE_BUDGET
 
 
-def tables2_residency(flat: FlatBVH) -> str:
+def choose_node_format(flat: FlatBVH) -> tuple[str, bool]:
+    """(residency, bf16_nodes) policy: prefer residency upgrades first,
+    f32 nodes second (bf16 costs ~6 extra scalar decode ops per step,
+    so it is only chosen when it moves a table into VMEM or shrinks a
+    streamed transfer): vmem-f32 > vmem-bf16 > mixed-f32 > mixed-bf16 >
+    hbm-bf16."""
+    n_nodes = int(np.asarray(flat.nodes).shape[0])
+    woop_b = int(np.asarray(flat.tri_woop).shape[0]) * 64
+    if n_nodes * 64 + woop_b <= VMEM_TABLE_BUDGET:
+        return "vmem", False
+    if n_nodes * 32 + woop_b <= VMEM_TABLE_BUDGET:
+        return "vmem", True
+    if n_nodes * 64 <= VMEM_TABLE_BUDGET:
+        return "mixed", False
+    if n_nodes * 32 <= VMEM_TABLE_BUDGET:
+        return "mixed", True
+    # Fully streamed: bf16 decode costs more than the halved (latency-
+    # bound) per-record DMA saves — measured dragon 4.32 vs 4.80 and
+    # hairball 2.43 vs 2.48 Mray/s (round 4).  Stay f32.
+    return "hbm", False
+
+
+def tables2_residency(flat: FlatBVH, bf16_nodes: bool = False) -> str:
     """Auto table placement: "vmem" (both resident), "mixed" (nodes
     resident, triangles DMA-streamed — node fetches are the traversal
     critical path, triangle blocks prefetch behind the leaf queue), or
     "hbm" (both streamed)."""
-    nodes_b = int(np.asarray(flat.nodes).shape[0]) * 64
+    node_rec = 32 if bf16_nodes else 64
+    nodes_b = int(np.asarray(flat.nodes).shape[0]) * node_rec
     woop_b = int(np.asarray(flat.tri_woop).shape[0]) * 64
     if nodes_b + woop_b <= VMEM_TABLE_BUDGET:
         return "vmem"
@@ -249,6 +330,7 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
     # per grid step instead of 10 — separate component arrays measured
     # ~67 us/group of serialized small-DMA latency (78% of knob's wall).
     n_out = 4 if want_uv else 2
+    bf16n = nodes_ref.dtype == jnp.int32
 
     def rc(k, c):
         base = (k * 8 + c) * S
@@ -410,11 +492,40 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
                 nblk = node_scr[k]                       # (16,128)
             else:
                 nblk = nodes_ref[nd // 128]
-            col = pltpu.roll(nblk, -(nd % 128), axis=1)[:, 0:1]  # (16,1)
-            crep = jnp.repeat(col, S, axis=0)            # (16*S,1)
+            col = pltpu.roll(nblk, -(nd % 128), axis=1)[:, 0:1]
+            if bf16n:
+                # int32-carried bf16 record (8,1): slots 0-5 hold bound
+                # pairs, 6-7 the links.  Widening a bf16 bit pattern to
+                # f32 is `pattern << 16` — so the low-half bounds are
+                # just `slot << 16` and the high-half bounds
+                # `slot & 0xFFFF0000`, bitcast.  Everything before the
+                # bitcast stays integer-typed (a float-typed table would
+                # canonicalize link words aliasing NaN patterns).
+                c6 = col[0:6]
+                f_even = jax.lax.bitcast_convert_type(
+                    c6 << 16, jnp.float32)            # bounds 0,2,..,10
+                f_odd = jax.lax.bitcast_convert_type(
+                    c6 & jnp.int32(-65536), jnp.float32)  # 1,3,..,11
+                crep = jnp.repeat(jnp.concatenate([f_even, f_odd], axis=0),
+                                  S, axis=0)          # (12*S,1)
+                l0raw = col[6, 0]
+                link1 = col[7, 0]
+                enc = (l0raw >> 28) & 7
+                link0 = jnp.where(l0raw < 0, l0raw | 0x70000000,
+                                  l0raw & 0x0FFFFFFF)
 
-            def b(i):
-                return crep[S * i:S * (i + 1)]           # (S,1)
+                def b(i):
+                    r = (i % 2) * 6 + i // 2
+                    return crep[S * r:S * (r + 1)]   # (S,1)
+            else:
+                crep = jnp.repeat(col, S, axis=0)        # (16*S,1)
+                icol = jax.lax.bitcast_convert_type(col, jnp.int32)
+                link0 = icol[12, 0]
+                link1 = icol[13, 0]
+                enc = icol[14, 0]
+
+                def b(i):
+                    return crep[S * i:S * (i + 1)]       # (S,1)
 
             idirx, idiry, idirz = ctx_ref[k, 0], ctx_ref[k, 1], ctx_ref[k, 2]
             oodx, oody, oodz = ctx_ref[k, 3], ctx_ref[k, 4], ctx_ref[k, 5]
@@ -437,16 +548,11 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
             c0min, c0max = span(b(0), b(1), b(2), b(3), b(8), b(9))
             c1min, c1max = span(b(4), b(5), b(6), b(7), b(10), b(11))
 
-            icol = jax.lax.bitcast_convert_type(col, jnp.int32)
-            link0 = icol[12, 0]
-            link1 = icol[13, 0]
-
             # Child order from the stored split-axis hint vs the packet's
             # direction sign — known as soon as the record is fetched, so
             # the only reductions on the decision chain are two
             # independent boolean ANY votes (vs two float min-reductions
             # plus a compare).
-            enc = icol[14, 0]
             c0low = (enc >> 2) & 1
             dirpos = (dsign_ref[k, 0] >> (enc & 3)) & 1
             swap = (dirpos ^ c0low) != 0
@@ -754,7 +860,8 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm,
                         pltpu.SMEM((K, QUEUE_DEPTH), jnp.int32),
                         pltpu.VMEM((K, 6, S, 128), jnp.float32),
                         pltpu.SMEM((K, 1), jnp.int32),
-                        pltpu.VMEM((K, 16, 128), jnp.float32),
+                        pltpu.VMEM((K, 8 if nodes3.dtype == jnp.int32
+                                    else 16, 128), nodes3.dtype),
                         pltpu.VMEM((K, C, 16, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((K,)),
                         pltpu.SemaphoreType.DMA((K, C))],
@@ -785,7 +892,8 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
                   interpret: bool = False, tile: int | None = None,
                   k: int | None = None, u: int | None = None,
                   want_uv: bool = True, mxu: bool | None = None,
-                  c: int | None = None) -> Hits:
+                  c: int | None = None,
+                  bf16_nodes: bool | None = None) -> Hits:
     """Trace rays with the branch-free interleaved-packet kernel.
 
     tables: optional pre-packed (nodes3, woop3) from prepare_tables2
@@ -803,16 +911,25 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
     bit-identical to the scalar oracle's op order — hit ids can differ
     for edge-grazing rays.
     c: parallel leaf cursors per packet (default TPU_RT_C env).
+    bf16_nodes: 32-byte bf16 node records (conservative outward-rounded
+    bounds; hit results identical).  Default: the choose_node_format
+    policy when tables are packed here, else inferred from the given
+    tables' dtype.
     """
-    if hbm is None:
-        hbm = tables2_residency(flat)
-    if isinstance(hbm, bool):
-        hbm = "hbm" if hbm else "vmem"
     if tables is None:
-        tables = prepare_tables2(flat)
+        if bf16_nodes is None:
+            auto_res, bf16_nodes = choose_node_format(flat)
+            if hbm is None:
+                hbm = auto_res
+        tables = prepare_tables2(flat, bf16_nodes=bf16_nodes)
         if tables is None:
             raise ValueError("scene exceeds packet2 packing limits")
     nodes3, woop3 = tables
+    if hbm is None:
+        hbm = tables2_residency(flat,
+                                bf16_nodes=nodes3.dtype == jnp.int32)
+    if isinstance(hbm, bool):
+        hbm = "hbm" if hbm else "vmem"
     streaming = hbm != "vmem"
     if tile is None:
         # Streamed residencies amortize per-record DMA latency better
@@ -831,10 +948,10 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
                        C if c is None else c)
 
 
-def prepare_tables2(flat: FlatBVH):
+def prepare_tables2(flat: FlatBVH, bf16_nodes: bool = False):
     """Device-resident kernel tables (nodes3, woop3) or None if the scene
     exceeds packing limits."""
-    packed = pack_tables2(flat)
+    packed = pack_tables2(flat, bf16_nodes=bf16_nodes)
     if packed is None:
         return None
     return tuple(jnp.asarray(a) for a in packed)
