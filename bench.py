@@ -35,8 +35,11 @@ import numpy as np
 
 SCENE = os.environ.get("BENCH_SCENE", "bunny")
 RAY_TYPE = os.environ.get("BENCH_RAY_TYPE", "primary")
-WIDTH = int(os.environ.get("BENCH_WIDTH", 1024))
-HEIGHT = int(os.environ.get("BENCH_HEIGHT", 768))
+# Reference committed frame 640x480 (App.cc:53) — round 4 moved off
+# 1024x768: larger frames amortize fixed cost and flatter the repo
+# against baselines measured at 640x480.
+WIDTH = int(os.environ.get("BENCH_WIDTH", 640))
+HEIGHT = int(os.environ.get("BENCH_HEIGHT", 480))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 2))
 REPEATS = int(os.environ.get("BENCH_REPEATS", 5))
 SAMPLES = int(os.environ.get("BENCH_SAMPLES", 1))  # reference App.cc:155
@@ -143,6 +146,20 @@ def scaling_main() -> None:
     print(json.dumps(result))
 
 
+def _full_frame_artifact():
+    """Round full-frame parity artifact (tools/bench_suite.py
+    --verify-full writes BENCH_FULLFRAME.json: whole-frame device trace
+    vs the oracle-pinned CPU wavefront, exact hit ids, one scene per
+    residency).  Embedded here so the driver's BENCH_r{N}.json carries
+    it."""
+    try:
+        with open("BENCH_FULLFRAME.json") as f:
+            data = json.load(f)
+        return {k: bool(v.get("verified")) for k, v in data.items()}
+    except OSError:
+        return None
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -158,9 +175,9 @@ def main() -> None:
     flat, stats = load_or_build_bvh(scene, cache_dir="bvhcache")
     build_s = time.time() - t0
 
-    lo, hi = scene.bbox()
-    camera = Camera.for_bbox(
-        lo, hi, elevation_deg=25.0 if SCENE == 'knob' else 0.0)
+    from tpu_rt.bench.workload import suite_camera
+
+    camera = suite_camera(SCENE, scene)
     raygen = RayGen()
     rays, _, _ = raygen.primary(camera, WIDTH, HEIGHT)
 
@@ -168,17 +185,19 @@ def main() -> None:
     any_hit = False
     num_rays = WIDTH * HEIGHT  # metric numerator (App.cc:188-204)
 
-    from tpu_rt.trace.packet2 import prepare_tables2, tables2_residency, trace_packet2
+    from tpu_rt.trace.packet2 import (choose_node_format, prepare_tables2,
+                                      trace_packet2)
 
     tracer = os.environ.get("BENCH_TRACER", "auto")
     tables = None
-    hbm = tables2_residency(flat)
+    hbm, bf16 = choose_node_format(flat)
     if tracer == "auto" and jax.default_backend() != "tpu":
         tracer = "xla"  # compiled Pallas requires the TPU backend
     if tracer in ("auto", "pallas"):
-        tables = prepare_tables2(flat)
+        tables = prepare_tables2(flat, bf16_nodes=bf16)
         if tables is not None:
-            tracer = "pallas" if hbm == "vmem" else f"pallas-{hbm}"
+            tracer = ("pallas" if hbm == "vmem"
+                      else f"pallas-{hbm}") + ("-bf16" if bf16 else "")
     if tables is None:
         tracer = "xla"
 
@@ -251,6 +270,15 @@ def main() -> None:
             "build_s": round(build_s, 2),
             "tracer": tracer,
             "verified_rays": verified,
+            # Round-4 workload note: the frame/camera moved to the
+            # reference's committed configuration (640x480, App.cc:53;
+            # reference-framed cameras, tpu_rt/bench/workload.py).  The
+            # round-3 framing left most of the frame OFF-scene (bunny
+            # ~20% hit fraction), so miss rays inflated the numerator at
+            # near-zero traversal cost; round-over-round deltas vs
+            # BENCH_r03 mix this workload correction with kernel changes.
+            "workload": "r4-calibrated-640x480",
+            "full_frame_verified": _full_frame_artifact(),
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

@@ -7,16 +7,35 @@ bench.py's: kernel-only time, chained device-scalar fences, numerator =
 primary hits x samples for secondary types (App.cc:188-204,
 Renderer.cc:221-238).
 
+Round-4 workload calibration (tpu_rt/bench/workload.py): the frame is
+the reference's committed 640x480 (App.cc:53), cameras use the decoded
+per-scene fov with object-framed knob, and AO radii are the
+grtcmdline.txt absolute values translated to surrogate scale.  Each row
+also records a count_iters census (group count + kernel iterations) and
+the suite fits the per-residency cost model
+    predicted_s = g * groups + c * iters
+so every row carries a vs_model column (VERDICT r3 #8).
+
 Usage: python tools/bench_suite.py [out.json] [row ...]
+       python tools/bench_suite.py --verify-full
   row = scene:ray_type (default: the 17 BASELINE rows)
-Env: BS_WIDTH/BS_HEIGHT (1024x768), BS_REPEATS (3), BS_CHAIN (3),
-     BS_TRACER (auto), TPU_RT_* kernel knobs.
+Env: BS_WIDTH/BS_HEIGHT (640x480), BS_REPEATS (3), BS_CHAIN (32),
+     BS_TRACER (auto), BS_AO_RADIUS (grt), TPU_RT_* kernel knobs.
+
+--verify-full: full-frame compiled-device parity artifact
+(BENCH_FULLFRAME.json): for one scene per residency mode, trace the
+entire primary frame on the device and compare hit ids EXACTLY against
+the portable XLA wavefront tracer evaluated on CPU in a subprocess (the
+wavefront is itself pinned bit-exactly to the scalar oracle by
+tests/test_trace.py; the reference's analog is its golden-dump
+discipline, CudaTracer.cc:519-637).
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -49,65 +68,72 @@ TRIS = {"knob": "12.6K", "sponza": "121.4K", "bunny": "144.5K",
         "fairy": "174.1K", "conference": "350.9K", "sibenik": "75.3K",
         "dragon": "910.3K", "sanmiguel": "1.50M", "hairball": "6.47M"}
 
+# Full-frame verification targets: one scene per residency mode.
+FULLFRAME_TARGETS = [
+    ("bunny", None),            # auto -> vmem f32
+    ("conference", None),       # auto -> mixed f32
+    ("dragon", None),           # auto -> mixed bf16
+    ("dragon", "hbm-f32"),      # forced fully-streamed f32
+]
+
+
+def _setup_scene(scene_name: str):
+    from tpu_rt.bvh import load_or_build_bvh
+    from tpu_rt.scene import Scene, procedural
+
+    scene = Scene(procedural.scene_by_name(scene_name))
+    flat, _ = load_or_build_bvh(scene, cache_dir="bvhcache")
+    return scene, flat
+
 
 def bench_row(scene_name: str, ray_type: str, width: int, height: int,
               repeats: int, chain: int, samples: int = 1) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from tpu_rt.bvh import load_or_build_bvh
+    from tpu_rt.bench.workload import suite_ao_radius, suite_camera
     from tpu_rt.raygen import RayGen
     from tpu_rt.raygen.generators import gen_ao_rays
     from tpu_rt.rays.buffer import morton_sort_device
     from tpu_rt.core.types import Rays
-    from tpu_rt.scene import Camera, Scene, procedural
     from tpu_rt.trace import device_bvh
-    from tpu_rt.trace.packet2 import (prepare_tables2, tables2_residency,
+    from tpu_rt.trace.packet2 import (choose_node_format, prepare_tables2,
                                       trace_packet2)
     from tpu_rt.trace.xla_tracer import trace_wavefront
 
-    scene = Scene(procedural.scene_by_name(scene_name))
-    flat, _ = load_or_build_bvh(scene, cache_dir="bvhcache")
-    lo, hi = scene.bbox()
-    # Elevated framing for the object-on-plane scene (the reference
-    # knob camera signature looks down at its plane; edge-on the
-    # plane is invisible and the hit numerator collapses).
-    camera = Camera.for_bbox(lo, hi,
-                             elevation_deg=25.0 if scene_name == 'knob'
-                             else 0.0)
+    scene, flat = _setup_scene(scene_name)
+    camera = suite_camera(scene_name, scene)
     rays, _, _ = RayGen().primary(camera, width, height)
     num_rays = width * height
     any_hit = False
 
-    tables = prepare_tables2(flat)
-    hbm = tables2_residency(flat)
+    residency, bf16 = choose_node_format(flat)
+    tables = prepare_tables2(flat, bf16_nodes=bf16)
     tracer = os.environ.get("BS_TRACER", "auto")
     if tracer == "auto":
         if jax.default_backend() != "tpu" or tables is None:
             tracer = "xla"
         else:
-            tracer = "pallas" if hbm == "vmem" else f"pallas-{hbm}"
+            tracer = "pallas-" + residency + ("-bf16" if bf16 else "")
     dbvh = device_bvh(flat) if (ray_type != "primary"
                                 or tracer == "xla") else None
 
+    ao_radius = None
+    live = num_rays
     if ray_type != "primary":
         # Primary hits via the fast kernel when available (the pre-trace
         # is not part of the metric).
         if tracer.startswith("pallas"):
-            primary_hits = trace_packet2(flat, rays, tables=tables, hbm=hbm,
-                                         want_uv=False)
+            primary_hits = trace_packet2(flat, rays, tables=tables,
+                                         hbm=residency, want_uv=False)
         else:
             primary_hits = trace_wavefront(dbvh, rays)
-        num_rays = int(np.sum(np.asarray(primary_hits.tri) >= 0)) * samples
-        # AO radius: the reference flag default is 5.0 on scenes tens of
-        # units across (its cookbook tunes per scene: 0.3 fairy, 1.5
-        # sanmiguel, grtcmdline.txt); the procedural surrogates span ~2
-        # units, so scale-equivalent locality is radius ∝ scene extent.
-        # BS_AO_RADIUS=abs:<v> forces an absolute value.
-        spec = os.environ.get("BS_AO_RADIUS", "rel:0.1")
-        kind_r, val = spec.split(":")
-        extent = float(np.linalg.norm(hi - lo))
-        ao_radius = float(val) * (extent if kind_r == "rel" else 1.0)
+        live = int(np.sum(np.asarray(primary_hits.tri) >= 0)) * samples
+        num_rays = live
+        # AO radius: reference-calibrated per scene (workload.py) —
+        # grtcmdline.txt absolute radii at the surrogate's scale.
+        ao_radius = suite_ao_radius(
+            scene_name, scene, os.environ.get("BS_AO_RADIUS", "grt"))
         max_dist = ao_radius if ray_type == "ao" else camera.far
         rays, _, _ = gen_ao_rays(
             rays.origin, rays.dirn, primary_hits.t, primary_hits.tri,
@@ -125,7 +151,7 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
         for _ in range(reps):
             if tracer.startswith("pallas"):
                 h = trace_packet2(flat, rays, any_hit=any_hit, tables=tables,
-                                  hbm=hbm, want_uv=False)
+                                  hbm=residency, want_uv=False)
             else:
                 h = trace_wavefront(dbvh, rays, any_hit=any_hit)
             acc = acc + jnp.sum(h.tri)
@@ -141,18 +167,218 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
     best = min(times)
     mrays = num_rays / best / 1e6
     base = BASELINES.get((scene_name, ray_type))
-    return {
+    row = {
         "scene": scene_name, "ray_type": ray_type,
         "mrays": round(mrays, 2), "baseline": base,
         "vs_baseline": round(mrays / base, 4) if base else None,
         "best_s": round(best, 5), "rays_metric": num_rays,
         "rays_traced": int(rays.origin.shape[0]), "tracer": tracer,
+        "width": width, "height": height,
+        "ao_radius": round(ao_radius, 4) if ao_radius else None,
     }
+    if tracer.startswith("pallas"):
+        # Iteration census for the roofline model (one extra untimed
+        # trace with the count_iters kernel output).
+        _, iters = trace_packet2(flat, rays, any_hit=any_hit, tables=tables,
+                                 hbm=residency, want_uv=False,
+                                 count_iters=True)
+        it = np.asarray(iters)
+        row["iters"] = int(it.sum())
+        row["groups"] = int(it.size)
+    return row
+
+
+def fit_cost_model(rows: list[dict]) -> dict:
+    """Per-residency linear model best_s ~= g * groups + c * iters,
+    least-squares over the suite rows (the VERDICT r3 #8 roofline
+    test: where a row deviates, that row is the next target; where the
+    model holds, the gap is structural)."""
+    out = {}
+    by_res = {}
+    for r in rows:
+        if "iters" in r and r.get("best_s"):
+            by_res.setdefault(r["tracer"], []).append(r)
+    for res, rs in by_res.items():
+        A = np.array([[r["groups"], r["iters"]] for r in rs], np.float64)
+        b = np.array([r["best_s"] for r in rs], np.float64)
+        if len(rs) >= 2:
+            coef, *_ = np.linalg.lstsq(A, b, rcond=None)
+            g, c = float(max(coef[0], 0.0)), float(max(coef[1], 0.0))
+        else:
+            g, c = 0.0, float(b[0] / max(A[0, 1], 1))
+        out[res] = {"per_group_us": round(g * 1e6, 2),
+                    "per_iter_us": round(c * 1e6, 3), "n_rows": len(rs)}
+        for r in rs:
+            pred = g * r["groups"] + c * r["iters"]
+            r["model_s"] = round(pred, 5)
+            r["vs_model"] = round(r["best_s"] / pred, 3) if pred > 0 else None
+    return out
+
+
+def write_suite_md(results, width, height, chain, model=None, dev=None):
+    ok = [r for r in results if "mrays" in r]
+    if not ok:
+        return
+    if dev is None:
+        import jax
+        dev = str(jax.devices()[0])
+    calib = {}
+    if os.path.exists("BENCH_CALIB.json"):
+        with open("BENCH_CALIB.json") as f:
+            calib = {(c["scene"], c["ray_type"]): c for c in json.load(f)}
+    lines = [
+        "# Benchmark suite snapshot", "",
+        f"Measured with `tools/bench_suite.py` on {dev}, "
+        f"{width}x{height} (the reference's committed frame, App.cc:53), "
+        "kernel-time-only Mray/s (reference metric, App.cc:188-204; "
+        "secondary numerator = primary hits x samples, "
+        f"Renderer.cc:221-238).  Timing chains {chain} traces per "
+        "device-scalar fence (python dispatch through the tunneled "
+        "platform costs ~6-10 ms that is NOT kernel time; the reference "
+        "times kernels with cudaEvents, which excludes launch overhead "
+        "the same way).  Scenes are procedural surrogates with the "
+        "reference scenes' triangle counts; baselines are the "
+        "reference's published GPU numbers (BASELINE.md).", "",
+        "ROUND-4 WORKLOAD CHANGE (re-baselining note): the frame moved "
+        "1024x768 -> 640x480 to match the reference exactly, cameras use "
+        "the per-scene decoded fov (object scenes 46.8 deg; knob frames "
+        "the object, not the ground plane), AO radii are the "
+        "grtcmdline.txt absolute values translated to surrogate scale "
+        "(tpu_rt/bench/workload.py), and the hairball surrogate was "
+        "regenerated with locally-wandering strands so it builds at the "
+        "reference sbvh-alpha=1e-5 (62.9% split duplication) instead of "
+        "requiring spatial splits to be disabled.  Round-over-round "
+        "per-row deltas vs BENCH_r03 therefore mix workload and kernel "
+        "changes; knob rows in particular changed scene framing in "
+        "rounds 3 AND 4.", "",
+        "`calib` = CPU-oracle difficulty calibration "
+        "(tools/calibrate.py): mean node+tri tests per live ray / hit "
+        "fraction.  `vs_model` = measured / (fitted per-residency "
+        "g*groups + c*iters) — rows far from 1.0 are scheduling "
+        "anomalies, rows near 1.0 are iteration-bound (structural).", "",
+        "| Scene | Ray type | Mray/s | Baseline | vs_baseline | "
+        "calib tests/ray | hit% | iters | vs_model |",
+        "|---|---|---|---|---|---|---|---|---|",
+    ]
+    for r in ok:
+        cal = calib.get((r["scene"], r["ray_type"]), {})
+        tests = (f"{cal['node_tests_per_ray'] + cal['tri_tests_per_ray']:.0f}"
+                 if cal else "")
+        hitp = f"{cal['hit_frac'] * 100:.0f}%" if cal else ""
+        lines.append(
+            f"| {r['scene']} ({TRIS.get(r['scene'], '?')}) "
+            f"| {r['ray_type']} | {r['mrays']} | {r['baseline']} "
+            f"| {r['vs_baseline']:.3f} | {tests} | {hitp} "
+            f"| {r.get('iters', '')} | {r.get('vs_model', '')} |")
+    for r in results:
+        if "error" in r:
+            lines.append(f"| {r['scene']} | {r['ray_type']} | "
+                         f"FAILED: {r['error'][:60]} | | | | | | |")
+    if model:
+        lines += ["", "## Fitted cost model (per residency)", "",
+                  "```json", json.dumps(model, indent=1), "```"]
+    for path, title in (
+            ("BENCH_FULLFRAME.json", "Full-frame compiled-device parity "
+             "(exact hit-id compare vs the CPU wavefront per residency)"),
+            ("BENCH_DIFF.json", "Differentiable path (forward render / "
+             "full grad step, dense-XLA diff recompute over packet-kernel "
+             "routing)"),
+            ("BENCH_SCALING.json", "Scaling efficiency (strong mode = "
+             "fixed global work; weak alongside; 0.85 is the BASELINE "
+             "bar)")):
+        if os.path.exists(path):
+            lines += ["", f"## {title}", "", "```json"]
+            with open(path) as f:
+                lines += [ln.rstrip() for ln in f if ln.strip()]
+            lines += ["```"]
+    lines += ["", f"Updated: round 4 ({time.strftime('%Y-%m-%d')})."]
+    with open("BENCH_SUITE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def verify_full() -> None:
+    """Full-frame device parity per residency -> BENCH_FULLFRAME.json."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_rt.bench.workload import FRAME_H, FRAME_W, suite_camera
+    from tpu_rt.raygen import RayGen
+    from tpu_rt.trace.packet2 import (choose_node_format, prepare_tables2,
+                                      trace_packet2)
+
+    results = {}
+    root = os.path.join(os.path.dirname(__file__), "..")
+    for scene_name, forced in FULLFRAME_TARGETS:
+        ref_path = f"/tmp/ff_{scene_name}.npz"
+        if not os.path.exists(ref_path):
+            # CPU wavefront reference in a subprocess (this process owns
+            # the TPU; the wavefront is oracle-pinned by tests).
+            env = dict(os.environ, JAX_PLATFORMS="cpu",
+                       PALLAS_AXON_POOL_IPS="")
+            code = (
+                "import sys; sys.path.insert(0, %r)\n"
+                "import numpy as np, jax\n"
+                "jax.config.update('jax_platforms', 'cpu')\n"
+                "from tools.bench_suite import _setup_scene\n"
+                "from tpu_rt.bench.workload import FRAME_H, FRAME_W, "
+                "suite_camera\n"
+                "from tpu_rt.raygen import RayGen\n"
+                "from tpu_rt.trace import device_bvh\n"
+                "from tpu_rt.trace.xla_tracer import trace_wavefront\n"
+                "scene, flat = _setup_scene(%r)\n"
+                "cam = suite_camera(%r, scene)\n"
+                "rays, _, _ = RayGen().primary(cam, FRAME_W, FRAME_H)\n"
+                "h = trace_wavefront(device_bvh(flat), rays)\n"
+                "np.savez(%r, tri=np.asarray(h.tri))\n"
+            ) % (root, scene_name, scene_name, ref_path)
+            subprocess.run([sys.executable, "-c", code], env=env,
+                           check=True, cwd=root)
+        ref_tri = np.load(ref_path)["tri"]
+
+        scene, flat = _setup_scene(scene_name)
+        cam = suite_camera(scene_name, scene)
+        rays, _, _ = RayGen().primary(cam, FRAME_W, FRAME_H)
+        if forced == "hbm-f32":
+            residency, bf16 = "hbm", False
+        else:
+            residency, bf16 = choose_node_format(flat)
+        tables = prepare_tables2(flat, bf16_nodes=bf16)
+        h = trace_packet2(flat, rays, tables=tables, hbm=residency,
+                          want_uv=False)
+        tri = np.asarray(h.tri)
+        key = residency + ("-bf16" if bf16 else "")
+        mism = int(np.sum(tri != ref_tri))
+        results[key] = {
+            "scene": scene_name, "rays": int(tri.size),
+            "mismatches": mism, "verified": mism == 0,
+            "device": str(jax.devices()[0]),
+        }
+        print(f"fullframe {scene_name:10s} [{key}]: "
+              f"{'EXACT' if mism == 0 else f'{mism} MISMATCHES'} "
+              f"({tri.size} rays)", flush=True)
+    with open("BENCH_FULLFRAME.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print("wrote BENCH_FULLFRAME.json")
 
 
 def main() -> None:
-    width = int(os.environ.get("BS_WIDTH", 1024))
-    height = int(os.environ.get("BS_HEIGHT", 768))
+    if "--verify-full" in sys.argv:
+        verify_full()
+        return
+    if "--regen-md" in sys.argv:
+        # Re-render BENCH_SUITE.md from the existing JSON artifacts
+        # without touching the device (replaces tools/regen_suite_md.py).
+        with open("BENCH_SUITE.json") as f:
+            results = json.load(f)
+        model = fit_cost_model([r for r in results if "mrays" in r])
+        write_suite_md(results, int(os.environ.get("BS_WIDTH", 640)),
+                       int(os.environ.get("BS_HEIGHT", 480)),
+                       int(os.environ.get("BS_CHAIN", 32)), model,
+                       dev="TPU v5 lite (regenerated)")
+        print("regenerated BENCH_SUITE.md")
+        return
+    width = int(os.environ.get("BS_WIDTH", 640))
+    height = int(os.environ.get("BS_HEIGHT", 480))
     repeats = int(os.environ.get("BS_REPEATS", 3))
     chain = int(os.environ.get("BS_CHAIN", 32))
     out_path = sys.argv[1] if len(sys.argv) > 1 else "BENCH_SUITE.json"
@@ -174,60 +400,11 @@ def main() -> None:
         results.append(r)
         with open(out_path, "w") as f:
             json.dump(results, f, indent=1)
-
-    ok = [r for r in results if "mrays" in r]
-    if ok:
-        import jax
-        dev = str(jax.devices()[0])
-        lines = [
-            "# Benchmark suite snapshot", "",
-            f"Measured with `tools/bench_suite.py` on {dev}, "
-            f"{width}x{height}, kernel-time-only Mray/s (reference metric,"
-            " App.cc:188-204; secondary numerator = primary hits x samples,"
-            " Renderer.cc:221-238).  Timing chains "
-            f"{chain} traces per device-scalar fence: each python dispatch"
-            " through the tunneled platform costs ~6-10 ms that is NOT"
-            " kernel time (the reference times kernels with cudaEvents,"
-            " which excludes launch overhead the same way)."
-            "  Scenes are procedural surrogates with"
-            " the reference scenes' triangle counts; baselines are the"
-            " reference's published GPU numbers (BASELINE.md).  Secondary"
-            " rays are device-Morton-sorted before tracing (sort excluded"
-            " from the metric, as in the reference); AO radius is scale-"
-            "equivalent (0.1 x scene extent — the flag default 5.0 assumes"
-            " the real scenes' tens-of-units span; cf. the per-scene radii"
-            " in grtcmdline.txt).", "",
-            f"Updated: round 3 ({time.strftime('%Y-%m-%d')}).", "",
-            "| Scene | Ray type | Mray/s | Baseline | vs_baseline |",
-            "|---|---|---|---|---|",
-        ]
-        for r in ok:
-            lines.append(
-                f"| {r['scene']} ({TRIS.get(r['scene'], '?')}) "
-                f"| {r['ray_type']} | {r['mrays']} | {r['baseline']} "
-                f"| {r['vs_baseline']:.3f} |")
-        for r in results:
-            if "error" in r:
-                lines.append(f"| {r['scene']} | {r['ray_type']} | "
-                             f"FAILED: {r['error'][:60]} | | |")
-        # North-star axes (VERDICT r2 #5): differentiable-path and
-        # scaling-efficiency rows, from their artifact files when present
-        # (tools/bench_diff.py writes BENCH_DIFF.json lines;
-        # BENCH_MODE=scaling bench.py writes BENCH_SCALING.json).
-        for path, title in (("BENCH_DIFF.json", "Differentiable path "
-                             "(forward render / full grad step, dense-XLA "
-                             "diff recompute over packet-kernel routing)"),
-                            ("BENCH_SCALING.json", "Scaling efficiency "
-                             "(strong mode = fixed global work; weak "
-                             "alongside; 0.85 is the BASELINE bar)")):
-            if os.path.exists(path):
-                lines += ["", f"## {title}", "", "```json"]
-                with open(path) as f:
-                    lines += [ln.rstrip() for ln in f if ln.strip()]
-                lines += ["```"]
-        with open("BENCH_SUITE.md", "w") as f:
-            f.write("\n".join(lines) + "\n")
-        print(f"wrote BENCH_SUITE.md + {out_path}")
+    model = fit_cost_model([r for r in results if "mrays" in r])
+    with open(out_path, "w") as f:
+        json.dump(results, f, indent=1)
+    write_suite_md(results, width, height, chain, model)
+    print(f"wrote BENCH_SUITE.md + {out_path}")
 
 
 if __name__ == "__main__":

