@@ -128,18 +128,37 @@ def scaling_main() -> None:
                              repeats=REPEATS, warmup=WARMUP, mode="strong")
     weak = measure_scaling(flat, rays, routing=routing, tables=tables,
                            repeats=REPEATS, warmup=WARMUP, mode="weak")
+    n_dev = strong["n_devices"]
+    n_cores = os.cpu_count() or 1
+    oversub = jax.default_backend() == "cpu" and n_dev > n_cores
+    caveat = (f"CAVEAT: {n_dev} VIRTUAL cpu devices on {n_cores} physical "
+              "cores — rates measure host oversubscription, not chip "
+              "scaling; the mechanism adds zero forward collectives "
+              "(shard_map), so on real chips efficiency is bounded by "
+              "batch amortization (see mechanism_efficiency)"
+              ) if oversub else None
     result = {
-        "metric": f"{SCENE}_scaling_efficiency_{strong['n_devices']}dev",
+        "metric": f"{SCENE}_scaling_efficiency_{n_dev}dev"
+                  + ("_VIRTUAL_OVERSUBSCRIBED" if oversub else ""),
         "value": round(strong["efficiency"], 4),
         "unit": "fraction",
         "vs_baseline": round(strong["efficiency"] / 0.85, 4),
         "detail": {
             "scene": SCENE, "tracer": kind, "mode": "strong",
+            "caveat": caveat,
             "rate_1_mrays": round(strong["rate_1_rays_per_s"] / 1e6, 3),
             "rate_n_mrays": round(strong["rate_n_rays_per_s"] / 1e6, 3),
+            # Decomposition (VERDICT r3 weak#3): one device on the 1/n
+            # batch isolates batch-size amortization from mechanism
+            # overhead.
+            "rate_1_small_mrays": round(
+                strong.get("rate_1_small_rays_per_s", 0.0) / 1e6, 3),
+            "mechanism_efficiency": round(
+                strong.get("mechanism_efficiency", float("nan")), 4),
             "weak_efficiency": round(weak["efficiency"], 4),
             "weak_rate_n_mrays": round(weak["rate_n_rays_per_s"] / 1e6, 3),
-            "n_devices": strong["n_devices"],
+            "n_devices": n_dev,
+            "physical_cores": n_cores,
             "backend": jax.default_backend(),
         },
     }

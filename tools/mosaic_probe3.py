@@ -222,3 +222,42 @@ if __name__ == "__main__":
                              "onehot_stack", "rowstep", "div8", "mul8"]
     for m in modes:
         run(m)
+
+
+def gather_rates():
+    """XLA gather/scatter rates backing the round-4 record-touch floor
+    (ARCHITECTURE.md roofline section).  Run: python - <<< 'from
+    tools.mosaic_probe3 import gather_rates; gather_rates()'"""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def timeit(f, *a):
+        int(jnp.sum(f(*a)))
+        best = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for _ in range(8):
+                acc = acc + jnp.sum(f(*a))
+            int(acc)
+            best = min(best, (time.perf_counter() - t0) / 8)
+        return best
+
+    rng = np.random.default_rng(0)
+    for R in (307200, 786432):
+        for N, W in ((500_000, 16), (500_000, 8), (4_000_000, 16)):
+            tab = jnp.asarray(rng.normal(size=(N, W)).astype(np.float32))
+            idx = jnp.asarray(rng.integers(0, N, R).astype(np.int32))
+            dt = timeit(jax.jit(lambda t, i: t[i]), tab, idx)
+            print(f"gather R={R} N={N} W={W}: {dt*1e3:7.3f} ms "
+                  f"{dt/R*1e9:6.2f} ns/row", flush=True)
+    R, N, W = 307200, 150_000, 3
+    tab = jnp.zeros((N, W), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, N, R).astype(np.int32))
+    val = jnp.asarray(rng.normal(size=(R, W)).astype(np.float32))
+    dt = timeit(jax.jit(lambda t, i, v: t.at[i].add(v)), tab, idx, val)
+    print(f"scatter-add R={R}: {dt*1e3:.3f} ms {dt/R*1e9:.2f} ns/row",
+          flush=True)

@@ -36,7 +36,10 @@ Layouts (built host-side by pack_tables2):
 - nodes3: (ceil(N/128), 16, 128) f32 — node n's record at
   [n//128, :, n%128]: slots 0-11 the Compact2 child bounds
   (CudaBVH.cc:270-357 ordering), slots 12/13 child links (int32 bits),
-  inner = child node index, leaf = ~(first | count<<24).
+  inner = child node index, leaf = ~(first | count<<24); slot 14 the
+  split-axis ordering hint.  With bf16_nodes=True the record is
+  (ceil(N/128), 8, 128) int32 — 32 B/node — see the pack_tables2
+  docstring.
 - woop3: same transposition of the Woop triangle records
   (CudaBVH.cc:361-380); hit rows remap through flat.tri_index.
 """
