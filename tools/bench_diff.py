@@ -132,6 +132,19 @@ def main() -> None:
             step()
         out["profile_dir"] = prof
     print(json.dumps(out))
+    # Maintain the artifact: one JSON line per (scene, frame), newest
+    # wins for the same key.
+    path = "BENCH_DIFF.json"
+    rows = []
+    if os.path.exists(path):
+        with open(path) as f:
+            rows = [json.loads(ln) for ln in f if ln.strip()]
+    rows = [r for r in rows if not (r.get("scene") == scene_name
+                                    and r.get("width") == width)]
+    rows.append(out)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
 
 
 if __name__ == "__main__":

@@ -79,17 +79,23 @@ def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
     import jax
 
     from tpu_rt.trace.packet2 import (
-        C, K, TILE, U, prepare_tables2, tables2_residency,
+        C, K, TILE, U, choose_node_format, prepare_tables2,
     )
 
     on_tpu = jax.default_backend() == "tpu"
     if prefer == "packet" or (prefer == "auto" and on_tpu):
-        tables = prepare_tables2(flat)
+        hbm, bf16 = choose_node_format(flat)
+        tables = prepare_tables2(flat, bf16_nodes=bf16)
         if tables is not None:
-            hbm = tables2_residency(flat)
-            fn = _PacketRouting(hbm, interpret, tile or TILE, k or K,
+            # Streamed residencies default to the wider-tile/shorter-
+            # interleave schedule (trace_packet2's policy).
+            streaming = hbm != "vmem"
+            dtile = 4096 if streaming else TILE
+            dk = 2 if streaming else K
+            fn = _PacketRouting(hbm, interpret, tile or dtile, k or dk,
                                 u or U, c or C, want_uv)
-            kind = "packet" if hbm == "vmem" else f"packet-{hbm}"
+            kind = ("packet" if hbm == "vmem" else f"packet-{hbm}") + (
+                "-bf16" if bf16 else "")
             return fn, kind, tables
         if prefer == "packet":
             raise ValueError("packet tracer requested but scene exceeds "
