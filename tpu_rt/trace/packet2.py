@@ -464,6 +464,22 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
             hit_t = hits_ref[0, hslot(k, 1), :]
             hit_tri = jax.lax.bitcast_convert_type(
                 hits_ref[0, hslot(k, 0), :], jnp.int32)
+            if any_hit:
+                # Per-RAY vote retirement (the reference's per-lane
+                # anyHit abort, kepler_dynamic_fetch.cu:376-381): a ray
+                # that already holds a hit contributes NOTHING to the
+                # child votes below, so packet unions shrink as rays
+                # hit and a fully-hit packet drains naturally.  The
+                # reported hit_t is untouched; only the far-clamp
+                # domain collapses.  (This replaced a per-packet
+                # all-hit retirement vote that essentially never fired
+                # on real AO batches — a packet retires only when ALL
+                # ~2048 rays hit — while charging an any-reduce plus
+                # selects every iteration.)
+                vote_t = jnp.where(hit_tri >= 0,
+                                   jnp.float32(-np.inf), hit_t)
+            else:
+                vote_t = hit_t
             if want_uv:
                 hit_u = hits_ref[0, hslot(k, 2), :]
                 hit_v = hits_ref[0, hslot(k, 3), :]
@@ -545,7 +561,7 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
                     jnp.maximum(jnp.minimum(tz0, tz1), tmin))
                 far = jnp.minimum(
                     jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1), hit_t))
+                    jnp.minimum(jnp.maximum(tz0, tz1), vote_t))
                 return near, far
 
             c0min, c0max = span(b(0), b(1), b(2), b(3), b(8), b(9))
@@ -737,14 +753,6 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
             if want_uv:
                 hits_ref[0, hslot(k, 2), :] = hit_u
                 hits_ref[0, hslot(k, 3), :] = hit_v
-
-            if any_hit:
-                # Retire the packet once every valid ray has a hit.
-                undecided = jnp.any((rc(k, 7) >= 0.0) & (hit_tri < 0))
-                node = jnp.where(undecided, node, SENT)
-                qh = jnp.where(undecided, qh, qt)
-                for j in range(C):
-                    tcur_k[j] = jnp.where(undecided, tcur_k[j], tend_k[j])
 
             if hbm_nodes:
                 node_copy(k, node).start()
