@@ -88,7 +88,12 @@ C = int(os.environ.get("TPU_RT_C", 1))
 MXU = os.environ.get("TPU_RT_MXU", "0") != "0"
 assert TILE % 128 == 0
 STACK_DEPTH = 64
-QUEUE_DEPTH = 64
+# Leaf ring-queue depth.  Also the closest-hit pruning LAG bound: a
+# queued leaf's triangles are tested up to ~QUEUE_DEPTH/U iterations
+# after discovery, during which hit_t is looser than it could be —
+# smaller depths force draining (backpressure stalls the node unit)
+# and tighten pruning sooner, at the cost of idle node slots.
+QUEUE_DEPTH = int(os.environ.get("TPU_RT_QD", 64))
 SENT = np.int32(0x7FFFFFFF)
 OOEPS = np.float32(2.0**-80)
 COUNT_SHIFT = 24
