@@ -1,3 +1,4 @@
+import os
 import numpy as np
 import pytest
 
@@ -124,3 +125,29 @@ def test_builder_determinism(blob_scene):
     np.testing.assert_array_equal(a.tri_indices, b.tri_indices)
     assert a.stats.sah_cost == b.stats.sah_cost
     assert a.stats.num_inner_nodes == b.stats.num_inner_nodes
+
+
+def test_cache_key_stable_across_processes():
+    """The BVH cache key must be process-invariant: python's builtin
+    str hash is PYTHONHASHSEED-salted, and a salted component silently
+    turned every new process into a cache miss (hairball-class scenes
+    then rebuilt ~6.5 min per run)."""
+    import subprocess
+    import sys as _sys
+
+    code = (
+        "import sys; sys.path.insert(0, %r)\n"
+        "from tpu_rt.scene import Scene, procedural\n"
+        "from tpu_rt.bvh.cache import bvh_cache_key, platform_from_env\n"
+        "from tpu_rt.bvh.builder import BuildParams\n"
+        "s = Scene(procedural.make_quad())\n"
+        "print(hex(bvh_cache_key(s, platform_from_env(), BuildParams())))\n"
+    ) % os.path.join(os.path.dirname(__file__), "..")
+    keys = set()
+    for seed in ("0", "12345"):
+        env = dict(os.environ, PYTHONHASHSEED=seed, JAX_PLATFORMS="cpu",
+                   PALLAS_AXON_POOL_IPS="")
+        out = subprocess.run([_sys.executable, "-c", code], env=env,
+                             capture_output=True, text=True, check=True)
+        keys.add(out.stdout.strip())
+    assert len(keys) == 1, keys

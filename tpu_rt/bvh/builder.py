@@ -32,7 +32,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from tpu_rt.core.math import float_to_bits, hash_bits
+from tpu_rt.core.math import float_to_bits, hash_bits, hash_buffer
 
 F32_MAX = np.float32(np.finfo(np.float32).max)
 
@@ -66,8 +66,13 @@ class Platform:
         return (batched * self.sah_node_cost).astype(np.float32)
 
     def hash(self) -> int:
+        # Deterministic name hash (the reference hashes its String with
+        # Jenkins too, Platform.hh:69): python's builtin str hash is
+        # PYTHONHASHSEED-salted per process, which silently changed the
+        # BVH cache key every run and rebuilt hairball-class scenes
+        # (~6.5 min) on every suite invocation until round 4.
         return hash_bits(
-            hash(self.name) & 0xFFFFFFFF,
+            hash_buffer(np.frombuffer(self.name.encode(), np.uint8)),
             int(float_to_bits(np.float32(self.sah_node_cost))),
             int(float_to_bits(np.float32(self.sah_triangle_cost))),
             self.tri_batch_size,
