@@ -414,8 +414,13 @@ def main() -> None:
     model = fit_cost_model([r for r in results if "mrays" in r])
     with open(out_path, "w") as f:
         json.dump(results, f, indent=1)
-    write_suite_md(results, width, height, chain, model)
-    print(f"wrote BENCH_SUITE.md + {out_path}")
+    if out_path == "BENCH_SUITE.json":
+        # Ad-hoc row subsets (custom out_path) must not clobber the
+        # committed full-suite snapshot.
+        write_suite_md(results, width, height, chain, model)
+        print(f"wrote BENCH_SUITE.md + {out_path}")
+    else:
+        print(f"wrote {out_path} (BENCH_SUITE.md untouched for ad-hoc runs)")
 
 
 if __name__ == "__main__":
