@@ -59,7 +59,8 @@ def bvh_cache_key(scene, platform: Platform, params: BuildParams) -> int:
 
 def platform_from_env() -> Platform:
     """Default build platform, with env overrides for SAH retuning
-    sweeps (tools/sah_retune.py): TPU_RT_SAH_NODE_COST / _TRI_COST /
+    sweeps (negative result recorded in ARCHITECTURE.md; the sweep
+    driver was pruned in round 4): TPU_RT_SAH_NODE_COST / _TRI_COST /
     _MIN_LEAF / _MAX_LEAF.  The cache key includes the platform hash,
     so overridden builds never collide with the defaults."""
     p = Platform.gpu()

@@ -61,7 +61,7 @@ from tpu_rt.core.types import FlatBVH, Hits, Rays
 # Rays per packet: (S, 128); K packets advance per iteration; U triangle
 # tests per packet per iteration (tri steps outnumber node steps ~2:1).
 # Defaults come from env; all are per-call static config so sweeps
-# (tools/sweep2.py) run in-process.  U=3/K=4/TILE=2048 measured best on
+# (in-process overrides).  U=3/K=4/TILE=2048 measured best on
 # v5e for VMEM-resident tables.
 TILE = int(os.environ.get("TPU_RT_TILE2", 2048))
 # K=2 re-measured best across vmem scenes after the fused-I/O layout
