@@ -223,6 +223,45 @@ def test_packet2_mxu_mode(setup):
                                rtol=1e-4, atol=1e-5)
 
 
+def test_packet2_iter_census_vs_oracle_bounds(setup):
+    """Locks the roofline model into CI (VERDICT r4 #7): the kernel's
+    count_iters census must sit inside oracle-derived bounds.
+
+    Lower bound (provable): a grid step's while-loop iterations >= the
+    max per-ray node-test count in its block — the shared cursor visits
+    at least the union of per-ray node sets, and a union is >= its
+    largest member.  Upper bound (conservative regression tripwire): the
+    union is <= the SUM of per-ray sets, each union node costs <= 2
+    node-unit transitions (visit + pop bookkeeping) and each queued leaf
+    triangle <= 1 drain slot, plus deferred-leaf hit_t-tightening lag —
+    so iterations beyond 2*sum(node)+sum(tri)+slack means runaway
+    traversal (e.g. a pruning or vote regression), not fp noise."""
+    import jax.numpy as jnp
+
+    from tpu_rt.trace import RayStats
+
+    scene, flat = setup
+    tile, k = 512, 2
+    block = tile * k
+    n = 2 * block  # two grid steps, no padding
+    o, d, tmin, tmax = _rays(scene, n, seed=30)
+    st = RayStats()
+    s_id, _, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax, stats=st)
+    hits, iters = trace_packet2(flat, make_rays(o, d, tmin, tmax),
+                                interpret=True, tile=tile, k=k,
+                                count_iters=True)
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    it = np.asarray(iters)
+    assert it.shape == (2,)
+    for g in range(2):
+        sl = slice(g * block, (g + 1) * block)
+        node = st.per_ray_node_tests[sl]
+        tri = st.per_ray_tri_tests[sl]
+        assert it[g] >= node.max(), (it[g], node.max())
+        bound = 2 * node.sum() + tri.sum() + 64
+        assert it[g] <= bound, (it[g], bound)
+
+
 def test_packet2_degenerate_and_tiny(setup):
     scene, flat = setup
     # Degenerate rays (tmax < 0, reference convention) never hit; a tiny

@@ -190,3 +190,40 @@ def test_compact_degenerate_matches_default(knob, tmp_path):
         r.render_frame(camera)
         imgs.append(r.update_result())
     np.testing.assert_array_equal(imgs[0], imgs[1])
+
+
+def test_auto_fallback_warns_on_tpu(knob, monkeypatch):
+    """The silent 1000x cliff (VERDICT r4 weak #4): when tracer='auto'
+    would select the packet kernel on TPU but the scene exceeds packing
+    limits, selection must emit a loud RuntimeWarning, not silently run
+    the XLA wavefront."""
+    import warnings
+
+    import jax
+
+    import tpu_rt.trace.packet2 as packet2
+    from tpu_rt.trace import make_routing_tracer
+
+    mesh, scene, camera = knob
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    monkeypatch.setattr(packet2, "prepare_tables2",
+                        lambda flat, bf16_nodes=False: None)
+
+    # make_routing_tracer path.
+    from tpu_rt.bvh import build_sbvh, flatten_bvh
+
+    flat = flatten_bvh(build_sbvh(scene), scene.tri_vtx_index, scene.vtx_pos)
+    with pytest.warns(RuntimeWarning, match="falling back to the XLA"):
+        fn, kind, tables = make_routing_tracer(flat, prefer="auto")
+    assert kind == "xla"
+
+    # Renderer._select_tracer path.
+    r = Renderer(W, H, RendererParams(cache_dir=None, tracer="auto"))
+    r.set_scene(scene)
+    with pytest.warns(RuntimeWarning, match="falling back to the XLA"):
+        r._ensure_bvh()
+    assert r.active_tracer == "xla"
+
+    # prefer='packet' must raise instead of warning.
+    with pytest.raises(ValueError, match="packing limits"):
+        make_routing_tracer(flat, prefer="packet")

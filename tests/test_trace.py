@@ -145,6 +145,39 @@ def test_stats_counters(blob):
     np.testing.assert_array_equal(np.asarray(wst["tri_tests"]), stats.per_ray_tri_tests)
 
 
+def test_treelet_counter(blob):
+    """numTreelets (reference BVH.hh:48, BVH.cc:89-99): with no treelet
+    assignment every node shares id -1 -> exactly 1 transition per
+    traced ray (the reference's unassigned-default behavior); with a
+    real partition (assign_treelets) the count is >= the node-test
+    count / treelet size and bounded by the node-test count."""
+    from tpu_rt.trace import assign_treelets
+
+    scene, flat = blob
+    o, d, tmin, tmax = _random_rays(scene, 60, seed=9)
+    tmax[::4] = -1.0  # degenerate rays never enter the tree
+    st0 = RayStats()
+    trace_flat_scalar(flat, o, d, tmin, tmax, stats=st0)
+    traced = np.sum(tmax >= 0)
+    assert st0.num_treelets == traced  # all-(-1) default: 1/ray
+    assert np.all(st0.per_ray_treelets[tmax < 0] == 0)
+
+    tl = assign_treelets(flat, max_nodes=32)
+    n_inner = np.asarray(flat.nodes).shape[0]
+    assert tl.shape == (n_inner,) and np.all(tl >= 0)
+    # Partition budget respected and every treelet non-empty.
+    counts = np.bincount(tl)
+    assert counts.max() <= 32 and counts.min() >= 1
+    st1 = RayStats()
+    trace_flat_scalar(flat, o, d, tmin, tmax, stats=st1, treelets=tl)
+    # Transitions are bounded by node visits and at least 1 per traced
+    # ray; a real partition transitions strictly more than the default.
+    assert st1.num_treelets >= traced
+    assert st1.num_treelets <= st1.num_node_tests
+    assert st1.num_treelets >= st0.num_treelets
+    assert np.all(st1.per_ray_treelets <= st1.per_ray_node_tests)
+
+
 def test_interior_scene_wavefront():
     scene, flat = _scene_and_flat(procedural.make_interior(1200, seed=22))
     o, d, tmin, tmax = _random_rays(scene, 100, seed=8, from_outside=False)

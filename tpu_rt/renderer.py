@@ -134,6 +134,18 @@ class Renderer:
                 return
         if choice == "pallas":
             raise RuntimeError("pallas tracer requested but scene exceeds kernel limits")
+        if choice == "auto" and on_tpu:
+            # The XLA wavefront runs ~1000x slower than the packet kernel
+            # on TPU (ARCHITECTURE.md "The three tracers") — a silent
+            # fallback here would look like a perf bug, so it is loud.
+            import warnings
+
+            warnings.warn(
+                "tpu_rt: scene exceeds packet-kernel packing limits; "
+                "'auto' is falling back to the XLA wavefront tracer "
+                "(~1000x slower on TPU). Force tracer='pallas' to get "
+                "the limit error instead.",
+                RuntimeWarning, stacklevel=3)
         self.active_tracer = "xla"
 
     # -- frame cycle ---------------------------------------------------------

@@ -2,6 +2,7 @@ from functools import partial
 
 from tpu_rt.trace.cpu_reference import (
     RayStats,
+    assign_treelets,
     intersect_brute,
     trace_flat_scalar,
 )
@@ -9,6 +10,7 @@ from tpu_rt.trace.xla_tracer import trace_wavefront, device_bvh
 
 __all__ = [
     "RayStats",
+    "assign_treelets",
     "intersect_brute",
     "trace_flat_scalar",
     "trace_wavefront",
@@ -100,4 +102,11 @@ def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
         if prefer == "packet":
             raise ValueError("packet tracer requested but scene exceeds "
                              "packing limits")
+        import warnings
+
+        warnings.warn(
+            "tpu_rt: scene exceeds packet-kernel packing limits; 'auto' "
+            "is falling back to the XLA wavefront tracer (~1000x slower "
+            "on TPU). Use prefer='packet' to get the limit error instead.",
+            RuntimeWarning, stacklevel=2)
     return _xla_routing, "xla", device_bvh(flat)

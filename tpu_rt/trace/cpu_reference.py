@@ -26,13 +26,63 @@ OOEPS = np.float32(np.exp2(-80.0))
 
 @dataclass
 class RayStats:
-    """Per-batch algorithmic counters (reference BVH.hh:39-50)."""
+    """Per-batch algorithmic counters (reference BVH.hh:39-50).
+
+    ``num_treelets`` counts treelet TRANSITIONS during traversal (the
+    reference's numTreelets, BVH.cc:89-99: ++ whenever the walk enters a
+    node whose treelet id differs from the previous node's, reset per
+    ray).  The reference never assigns m_treelet (all -1, so it counts
+    1/ray); pass a ``treelets`` array from :func:`assign_treelets` to
+    :func:`trace_flat_scalar` for a real partition.  Transitions are
+    counted on INNER-node visits (flat leaves live inside their parent's
+    record here, unlike the reference's LeafNode objects, so leaf visits
+    carry no treelet of their own).
+    """
 
     num_rays: int = 0
     num_node_tests: int = 0
     num_triangle_tests: int = 0
+    num_treelets: int = 0
     per_ray_node_tests: np.ndarray | None = None
     per_ray_tri_tests: np.ndarray | None = None
+    per_ray_treelets: np.ndarray | None = None
+
+
+def assign_treelets(flat: FlatBVH, max_nodes: int = 64) -> np.ndarray:
+    """Partition the inner-node tree into treelets of <= max_nodes nodes.
+
+    Greedy top-down: the root opens treelet 0; a child joins its parent's
+    treelet while that treelet has budget, otherwise it opens a new one.
+    Returns an int32 array [num_nodes] of treelet ids.  This is the
+    flat-BVH analog of the reference's per-node m_treelet slot
+    (BVHNode.hh:66, "for queuing tests") which the reference leaves
+    unassigned; treelets/ray from the oracle then measures traversal
+    locality — how often a ray's walk crosses a VMEM-tile-sized region
+    of the node table (the roofline question for mixed/hbm residency).
+    """
+    nodes = np.asarray(flat.nodes, np.float32)
+    links = np.ascontiguousarray(nodes[:, 12:16]).view(np.int32)
+    n = nodes.shape[0]
+    tl = np.full(n, -1, np.int32)
+    if n == 0:
+        return tl
+    counts = [1]  # the root occupies its own treelet's first slot
+    tl[0] = 0
+    stack = [0]
+    while stack:
+        node = stack.pop()
+        t = tl[node]
+        for c in (int(links[node, 0]), int(links[node, 1])):
+            if c < 0:  # leaf link: leaves inherit the parent treelet
+                continue
+            if counts[t] < max_nodes:
+                tl[c] = t
+                counts[t] += 1
+            else:
+                tl[c] = len(counts)
+                counts.append(1)
+            stack.append(c)
+    return tl
 
 
 def intersect_brute(
@@ -125,12 +175,17 @@ def trace_flat_scalar(
     tmax: np.ndarray,
     any_hit: bool = False,
     stats: RayStats | None = None,
+    treelets: np.ndarray | None = None,
 ):
     """Scalar per-ray FlatBVH traversal, float32-exact vs the device kernel.
 
     Returns (hit_tri [R] i32 original ids, t, u, v).  ``any_hit=True``
     terminates a ray at its first accepted intersection (AO semantics,
     reference kernel anyHit branch kepler_dynamic_fetch.cu:376-381).
+    ``treelets`` (from :func:`assign_treelets`) enables the reference's
+    numTreelets transition counter (BVH.cc:89-99) in ``stats``; without
+    it every node shares treelet -1, so the count is 1/ray as in the
+    reference's unassigned default.
     """
     nodes, links, woop, tri_index, leaf_counts = _flat_views(flat)
     origin = np.asarray(origin, np.float32).reshape(-1, 3)
@@ -145,6 +200,7 @@ def trace_flat_scalar(
     hit_v = np.zeros(n_rays, np.float32)
     node_tests = np.zeros(n_rays, np.int64)
     tri_tests = np.zeros(n_rays, np.int64)
+    treelet_trans = np.zeros(n_rays, np.int64)
 
     f32 = np.float32
     for r in range(n_rays):
@@ -161,9 +217,14 @@ def trace_flat_scalar(
         t_min = tmin[r]
         stack = [np.int32(0x7FFFFFFF)]  # sentinel
         node = np.int32(0)
+        cur_tl = -2  # reference: currentTreelet = -2 per ray (BVH.cc:76)
         while node != 0x7FFFFFFF:
             if node >= 0:
                 node_tests[r] += 1
+                tl = -1 if treelets is None else int(treelets[node])
+                if tl != cur_tl:
+                    treelet_trans[r] += 1
+                    cur_tl = tl
                 row = nodes[node]
                 c0lo = (row[[0, 2, 8]] * idir - ood).astype(f32)
                 c0hi = (row[[1, 3, 9]] * idir - ood).astype(f32)
@@ -221,8 +282,10 @@ def trace_flat_scalar(
         stats.num_rays += n_rays
         stats.num_node_tests += int(node_tests.sum())
         stats.num_triangle_tests += int(tri_tests.sum())
+        stats.num_treelets += int(treelet_trans.sum())
         stats.per_ray_node_tests = node_tests
         stats.per_ray_tri_tests = tri_tests
+        stats.per_ray_treelets = treelet_trans
 
     hit_tri = np.where(hit_row >= 0, tri_index[np.clip(hit_row, 0, max(0, tri_index.shape[0] - 1))], -1).astype(np.int32)
     return hit_tri, hit_t, hit_u, hit_v
