@@ -153,6 +153,36 @@ def scaling_main() -> None:
     weak = measure_scaling(flat, rays, routing=routing, tables=tables,
                            repeats=REPEATS, warmup=WARMUP, mode="weak")
     n_dev = strong["n_devices"]
+
+    # Mechanical zero-collective audit (VERDICT r4 #3): count collective
+    # ops in the lowered + compiled HLO of the sharded forward trace and
+    # grad step.  The design claim (dist/sharding.py docstring) is
+    # forward = ZERO collectives, grad step = exactly the 3 gradient/loss
+    # psums; this artifact is the proof, not prose.
+    import jax.numpy as jnp
+
+    from tpu_rt.dist import collective_audit
+    from tpu_rt.dist.sharding import make_ray_mesh, replicate_bvh, shard_rays
+
+    mesh = make_ray_mesh()
+    take = (rays.origin.shape[0] // n_dev) * n_dev
+    sub = jax.tree_util.tree_map(lambda x: x[:take], rays)
+    rep_tables = jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.asarray(x), jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())), tables)
+    target = jax.device_put(
+        jnp.zeros((take, 3), jnp.float32),
+        jax.sharding.NamedSharding(mesh,
+                                   jax.sharding.PartitionSpec("rays", None)))
+    audit = collective_audit(
+        mesh, replicate_bvh(flat, mesh), shard_rays(sub, mesh),
+        jnp.asarray(scene.vtx_pos), jnp.asarray(scene.tri_vtx_index),
+        jnp.asarray(scene.tri_material), target,
+        routing=routing, tables=rep_tables)
+    audit_ok = (not audit["forward_stablehlo"]
+                and not audit["forward_compiled"]
+                and audit["grad_step_stablehlo"] == {"all_reduce": 3}
+                and set(audit["grad_step_compiled"]) <= {"all-reduce"})
     n_cores = os.cpu_count() or 1
     oversub = jax.default_backend() == "cpu" and n_dev > n_cores
     caveat = (f"CAVEAT: {n_dev} VIRTUAL cpu devices on {n_cores} physical "
@@ -184,6 +214,7 @@ def scaling_main() -> None:
             "n_devices": n_dev,
             "physical_cores": n_cores,
             "backend": jax.default_backend(),
+            "collective_audit": dict(audit, verified=audit_ok),
         },
     }
     print(json.dumps(result))

@@ -207,3 +207,63 @@ def test_two_process_multihost():
                         + joined[-500:])
         pytest.fail("multihost worker failed:\n" + joined)
     assert "MULTIHOST_OK procs=2 devices=4" in outs[0], outs[0]
+
+
+def test_collective_audit_zero_forward(setup):
+    """Mechanical zero-collective proof (VERDICT r4 #3): the forward
+    sharded trace lowers and compiles with NO collective ops, and the
+    grad step contains exactly the 3 expected psums (loss + vertex +
+    material gradient all-reduces; the psum(1) device count constant-
+    folds at trace time) — nothing else."""
+    from tpu_rt.dist import collective_audit
+
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    vtx = jnp.asarray(scene.vtx_pos)
+    tvi = jnp.asarray(scene.tri_vtx_index)
+    mat = jnp.asarray(scene.tri_material)
+    rng = np.random.default_rng(3)
+    target = jax.device_put(
+        jnp.asarray(rng.uniform(0, 1, (rays.origin.shape[0], 3)).astype(np.float32)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rays", None)),
+    )
+    audit = collective_audit(mesh, replicate_bvh(flat, mesh),
+                             shard_rays(rays, mesh), vtx, tvi, mat, target)
+    assert audit["forward_stablehlo"] == {}, audit
+    assert audit["forward_compiled"] == {}, audit
+    assert audit["grad_step_stablehlo"] == {"all_reduce": 3}, audit
+    compiled = audit["grad_step_compiled"]
+    assert set(compiled) == {"all-reduce"}, audit
+    assert 1 <= compiled["all-reduce"] <= 3, audit  # XLA may combine
+
+
+def test_collective_audit_packet_routing(setup):
+    """Same audit with the Pallas packet kernel as the routing tracer:
+    the kernel runs per-chip inside shard_map, so the collective story
+    must be identical."""
+    from tpu_rt.dist import collective_audit
+    from tpu_rt.trace import make_routing_tracer
+
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    routing, kind, tables = make_routing_tracer(
+        flat, prefer="packet", interpret=True, tile=128, k=2)
+    assert kind == "packet"
+    rep_tables = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())), tables)
+    vtx = jnp.asarray(scene.vtx_pos)
+    tvi = jnp.asarray(scene.tri_vtx_index)
+    mat = jnp.asarray(scene.tri_material)
+    rng = np.random.default_rng(4)
+    target = jax.device_put(
+        jnp.asarray(rng.uniform(0, 1, (rays.origin.shape[0], 3)).astype(np.float32)),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec("rays", None)),
+    )
+    audit = collective_audit(mesh, replicate_bvh(flat, mesh),
+                             shard_rays(rays, mesh), vtx, tvi, mat, target,
+                             routing=routing, tables=rep_tables)
+    assert audit["forward_stablehlo"] == {}, audit
+    assert audit["forward_compiled"] == {}, audit
+    assert audit["grad_step_stablehlo"] == {"all_reduce": 3}, audit
+    assert set(audit["grad_step_compiled"]) == {"all-reduce"}, audit

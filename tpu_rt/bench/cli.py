@@ -59,7 +59,77 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cache-dir", default="bvhcache")
     p.add_argument("--image", help="Write the reconstructed frame (PPM or NPY)")
     p.add_argument("--json", action="store_true", help="Emit a JSON result line")
+    # grtcmdline replay mode: run a reference command line verbatim
+    # (grtcmdline.txt:1-61 — the reference's per-scene cookbook fed to
+    # FW::init, Main.cc:86-158), proving drop-in CLI compatibility.
+    p.add_argument("--grt-file",
+                   help="Reference command cookbook (e.g. grtcmdline.txt); "
+                        "replays one of its '--mesh=... --camera=...' lines")
+    p.add_argument("--grt-line", type=int,
+                   help="1-based flag-line index into --grt-file (omit to "
+                        "list the lines)")
+    p.add_argument("--mesh-root",
+                   help="Directory to re-root the cookbook's --mesh paths "
+                        "into (by basename); missing files fall back to the "
+                        "procedural surrogate of the same scene")
     return p
+
+
+# Reference scene-file stems -> procedural surrogate names (grtcmdline.txt
+# mesh paths; surrogates match the scenes' triangle counts, README.md:46-58).
+GRT_SURROGATES = {
+    "conference": "conference", "fairyforest": "fairy",
+    "sibenik": "sibenik", "sanmiguel": "sanmiguel",
+    "testobj": "knob",  # scenes/rt_2/mori_knob/testObj.obj
+    "dragon": "dragon", "hairball": "hairball", "bunny": "bunny",
+    "sponza": "sponza",
+}
+
+
+def grt_flag_lines(path: str) -> list[str]:
+    """The replayable flag lines of a reference command cookbook (lines
+    starting with '--'; '##scene' headers and blanks are skipped)."""
+    return [ln.strip() for ln in open(path)
+            if ln.strip().startswith("--")]
+
+
+def apply_grt(parser: argparse.ArgumentParser, args, argv: list[str]):
+    """Re-parse: cookbook line first, the user's own argv after (so
+    scalar user flags like --size/--ray-type override the line; the
+    line's --camera stays the replay camera at index 0).  Then remap the
+    line's --mesh: --mesh-root by basename if the file exists there,
+    else the procedural surrogate for the scene stem."""
+    import os
+    import shlex
+
+    lines = grt_flag_lines(args.grt_file)
+    if args.grt_line is None:
+        for i, ln in enumerate(lines, 1):
+            print(f"{i:3d}: {ln}")
+        raise SystemExit(f"{len(lines)} replayable lines; pick --grt-line=N")
+    if not 1 <= args.grt_line <= len(lines):
+        raise SystemExit(
+            f"--grt-line must be 1..{len(lines)} for {args.grt_file}")
+    tokens = shlex.split(lines[args.grt_line - 1])
+    args = parser.parse_args(tokens + list(argv))
+    if args.mesh:
+        base = os.path.basename(args.mesh)
+        if args.mesh_root:
+            cand = os.path.join(args.mesh_root, base)
+            if os.path.exists(cand):
+                args.mesh = cand
+                return args
+        stem = os.path.splitext(base)[0].lower()
+        surrogate = GRT_SURROGATES.get(stem)
+        if surrogate is None:
+            raise SystemExit(
+                f"no local mesh for {args.mesh!r} and no procedural "
+                f"surrogate for {stem!r}; pass --mesh-root with the file")
+        print(f"grt replay: {args.mesh} -> procedural surrogate "
+              f"{surrogate!r}")
+        args.mesh = None
+        args.scene = surrogate
+    return args
 
 
 def run_benchmark(args) -> dict:
@@ -162,7 +232,11 @@ def _write_ppm(path: str, img: np.ndarray) -> None:
 
 
 def main(argv=None) -> int:
-    args = build_parser().parse_args(argv)
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = build_parser()
+    args = parser.parse_args(argv)
+    if args.grt_file:
+        args = apply_grt(parser, args, argv)
     run_benchmark(args)
     return 0
 

@@ -4,6 +4,7 @@ from tpu_rt.dist.sharding import (
     trace_sharded,
     render_diff_sharded,
     grad_step_sharded,
+    collective_audit,
 )
 from tpu_rt.dist.multihost import init_multihost, measure_scaling
 
@@ -13,6 +14,7 @@ __all__ = [
     "trace_sharded",
     "render_diff_sharded",
     "grad_step_sharded",
+    "collective_audit",
     "init_multihost",
     "measure_scaling",
 ]
