@@ -272,3 +272,91 @@ def test_packet2_degenerate_and_tiny(setup):
     hits = trace_packet2(flat, make_rays(o, d, tmin, tmax), interpret=True)
     np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
     assert np.all(np.asarray(hits.tri)[::2] == -1)
+
+
+# ---- the 4-wide (MBVH4) kernel variant ----
+
+from tpu_rt.bvh.collapse import (  # noqa: E402
+    collapse4,
+    trace_quad_scalar,
+    validate_quad,
+)
+from tpu_rt.trace.packet2 import trace_packet4  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def quad_setup(setup):
+    scene, flat = setup
+    quad = collapse4(flat)
+    validate_quad(quad, scene.num_triangles)
+    return scene, flat, quad
+
+
+def test_collapse4_oracle_parity(quad_setup):
+    """Quad traversal is the same geometry query: hit/miss classification
+    and t must be EXACTLY the binary oracle's (same per-triangle f32
+    arithmetic; only the tested-triangle sets differ, which cannot
+    change a closest hit — ids may differ solely on exact-t ties)."""
+    scene, flat, quad = quad_setup
+    o, d, tmin, tmax = _rays(scene, 900, seed=40)
+    tmax[::6] = -1.0
+    s_id, s_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    q_id, q_t, _, _ = trace_quad_scalar(quad, o, d, tmin, tmax)
+    np.testing.assert_array_equal(q_t, s_t)
+    dis = q_id != s_id
+    assert np.all(q_t[dis] == s_t[dis])  # only exact-t ties may differ
+
+
+@pytest.mark.parametrize("hbm", ["vmem", "mixed", "hbm"])
+def test_packet4_matches_oracle(quad_setup, hbm):
+    scene, flat, quad = quad_setup
+    n = 2 * 512 + 77
+    o, d, tmin, tmax = _rays(scene, n, seed=41)
+    tmax[::5] = -1.0
+    s_id, s_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet4(quad, make_rays(o, d, tmin, tmax), interpret=True,
+                         tile=512, k=2, hbm=hbm)
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    hit = s_id >= 0
+    np.testing.assert_allclose(np.asarray(hits.t)[hit], s_t[hit],
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_packet4_any_hit(quad_setup):
+    scene, flat, quad = quad_setup
+    o, d, tmin, tmax = _rays(scene, 700, seed=42)
+    c_id, c_t, _, _ = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet4(quad, make_rays(o, d, tmin, tmax), any_hit=True,
+                         interpret=True, tile=512, k=2)
+    np.testing.assert_array_equal(np.asarray(hits.tri) >= 0, c_id >= 0)
+    hit = c_id >= 0
+    assert np.all(np.asarray(hits.t)[hit] >= c_t[hit] - 1e-5)
+
+
+def test_packet4_want_uv(quad_setup):
+    scene, flat, quad = quad_setup
+    o, d, tmin, tmax = _rays(scene, 600, seed=43)
+    s_id, s_t, s_u, s_v = trace_flat_scalar(flat, o, d, tmin, tmax)
+    hits = trace_packet4(quad, make_rays(o, d, tmin, tmax), interpret=True,
+                         tile=512, k=2, want_uv=True)
+    hit = s_id >= 0
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    np.testing.assert_allclose(np.asarray(hits.u)[hit], s_u[hit],
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(hits.v)[hit], s_v[hit],
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_packet4_interior_and_degenerate():
+    scene2 = Scene(procedural.make_interior(900, seed=81))
+    flat2 = flatten_bvh(build_sbvh(scene2), scene2.tri_vtx_index,
+                        scene2.vtx_pos)
+    quad2 = collapse4(flat2)
+    validate_quad(quad2, scene2.num_triangles)
+    o, d, tmin, tmax = _rays(scene2, 500, seed=44)
+    tmax[::2] = -1.0
+    s_id, s_t, _, _ = trace_flat_scalar(flat2, o, d, tmin, tmax)
+    hits = trace_packet4(quad2, make_rays(o, d, tmin, tmax), interpret=True,
+                         tile=512, k=2)
+    np.testing.assert_array_equal(np.asarray(hits.tri), s_id)
+    assert np.all(np.asarray(hits.tri)[::2] == -1)

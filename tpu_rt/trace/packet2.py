@@ -258,6 +258,77 @@ def pack_tables2(flat: FlatBVH, bf16_nodes: bool = False):
     return nodes_t, transpose3(woop16)
 
 
+def pack_tables4(quad) -> tuple[np.ndarray, np.ndarray] | None:
+    """Transposed kernel tables for a QuadBVH (bvh/collapse.py):
+    nodes4 (NB, 32, 128) f32 — node q's record at [q//128, :, q%128],
+    slots 0-23 the four children's bounds, 24-27 links (int32 bits),
+    28 the order-axis hint; woop like pack_tables2 with leaf runs
+    re-packed contiguously (count <= MAX_LEAF4 = 16 per leaf, never
+    crossing a 128-lane block).  None if packing limits are exceeded."""
+    from tpu_rt.bvh.collapse import MAX_LEAF4
+
+    nodes = np.array(np.asarray(quad.nodes), np.float32, copy=True)
+    links = np.ascontiguousarray(nodes[:, 24:28]).view(np.int32).copy()
+    woop = np.asarray(quad.tri_woop, np.float32)
+    tri_index = np.asarray(quad.tri_index, np.int32)
+    if woop.shape[0] >= (1 << COUNT_SHIFT):
+        return None
+    if nodes.shape[0] >= (1 << COUNT_SHIFT):
+        return None
+
+    leaf_node, leaf_child = np.where((links < 0))
+    enc = ~links[leaf_node, leaf_child]
+    leaf_first = (enc & FIRST_MASK).astype(np.int64)
+    leaf_count = ((enc >> COUNT_SHIFT) & 0xFF).astype(np.int64)
+    if leaf_count.size and leaf_count.max(initial=0) > MAX_LEAF4:
+        return None
+
+    new_first = np.zeros(leaf_count.shape[0], np.int64)
+    base = 0
+    for c in range(1, MAX_LEAF4 + 1):
+        sel = np.flatnonzero(leaf_count == c)
+        if sel.size == 0:
+            continue
+        per_block = 128 // c
+        j = np.arange(sel.size)
+        new_first[sel] = base + (j // per_block) * 128 + (j % per_block) * c
+        base += -(-sel.size // per_block) * 128
+    total = max(base, 1)
+    if total >= (1 << COUNT_SHIFT):
+        return None
+    links[leaf_node, leaf_child] = ~(
+        new_first | (leaf_count << COUNT_SHIFT)).astype(np.int64).astype(
+            np.int32)
+
+    csum = np.zeros(leaf_count.shape[0] + 1, np.int64)
+    np.cumsum(leaf_count, out=csum[1:])
+    ntri = int(csum[-1])
+    within = np.arange(ntri) - np.repeat(csum[:-1], leaf_count)
+    src = np.repeat(leaf_first, leaf_count) + within
+    dst = np.repeat(new_first, leaf_count) + within
+    woop2 = np.zeros((total, woop.shape[1]), np.float32)
+    tri_index2 = np.full(total, -1, np.int32)
+    woop2[dst] = woop[src]
+    tri_index2[dst] = tri_index[src]
+    woop16 = np.zeros((woop2.shape[0], 16), np.float32)
+    woop16[:, :woop2.shape[1]] = woop2
+    woop16[:, 12] = tri_index2.view(np.float32)
+
+    nodes[:, 24:28] = links.view(np.float32)
+
+    def transpose3(rows: np.ndarray, width: int) -> np.ndarray:
+        n = rows.shape[0]
+        padded = np.zeros((max(n, 1), width), rows.dtype)
+        padded[:n, :rows.shape[1]] = rows[:, :width]
+        nb = -(-padded.shape[0] // 128)
+        full = np.zeros((nb * 128, width), rows.dtype)
+        full[:padded.shape[0]] = padded
+        return np.ascontiguousarray(
+            full.reshape(nb, 128, width).transpose(0, 2, 1))
+
+    return transpose3(nodes, 32), transpose3(woop16, 16)
+
+
 def tables2_fit_vmem(flat: FlatBVH) -> bool:
     nodes_b = int(np.asarray(flat.nodes).shape[0]) * 64
     woop_b = int(np.asarray(flat.tri_woop).shape[0]) * 64
@@ -338,7 +409,14 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
     # per grid step instead of 10 — separate component arrays measured
     # ~67 us/group of serialized small-DMA latency (78% of knob's wall).
     n_out = 4 if want_uv else 2
-    bf16n = nodes_ref.dtype == jnp.int32
+    bf16n = nodes_ref.dtype == jnp.int32 and nodes_ref.shape[1] == 8
+    # 4-wide MBVH node records (pack_tables4 / bvh.collapse): 32-slot
+    # f32 records, 4 child slabs per fetch, stored-order traversal with
+    # direction-sign reversal.  Same queue/stack/DMA machinery as the
+    # binary path; only the node unit differs.
+    w4 = nodes_ref.shape[1] == 32
+    # Up to 4 leaf enqueues + 3 stack pushes per step (vs 2/1 binary).
+    qmargin = 4 if w4 else 2
 
     def rc(k, c):
         base = (k * 8 + c) * S
@@ -354,6 +432,7 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
         iters_ref, *rest = rest
     (stack_ref, queue_ref, ctx_ref, dsign_ref, node_scr, tri_scr,
      nsem, tsem) = rest
+    sdepth = stack_ref.shape[1]
 
     def hslot(k, c):
         base = (k * n_out + c) * S
@@ -508,8 +587,8 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
 
             # ---------------- node unit (masked) ----------------
             # Backpressure: stall traversal if the leaf queue could
-            # overflow (each step enqueues at most 2).
-            live = (node != SENT) & (qt - qh < QUEUE_DEPTH - 2)
+            # overflow (each step enqueues at most qmargin).
+            live = (node != SENT) & (qt - qh < QUEUE_DEPTH - qmargin)
             nd = node_fetch_idx(node)
             if hbm_nodes:
                 node_copy(k, node).wait()
@@ -517,7 +596,87 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
             else:
                 nblk = nodes_ref[nd // 128]
             col = pltpu.roll(nblk, -(nd % 128), axis=1)[:, 0:1]
-            if bf16n:
+            idirx, idiry, idirz = ctx_ref[k, 0], ctx_ref[k, 1], ctx_ref[k, 2]
+            oodx, oody, oodz = ctx_ref[k, 3], ctx_ref[k, 4], ctx_ref[k, 5]
+
+            def span(lox, hix, loy, hiy, loz, hiz):
+                tx0 = lox * idirx - oodx
+                tx1 = hix * idirx - oodx
+                ty0 = loy * idiry - oody
+                ty1 = hiy * idiry - oody
+                tz0 = loz * idirz - oodz
+                tz1 = hiz * idirz - oodz
+                near = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.maximum(jnp.minimum(tz0, tz1), tmin))
+                far = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.minimum(jnp.maximum(tz0, tz1), vote_t))
+                return near, far
+
+            if w4:
+                # --- 4-wide node step (MBVH4, pack_tables4 layout) ---
+                crep = jnp.repeat(col, S, axis=0)        # (32*S,1)
+                icol = jax.lax.bitcast_convert_type(col, jnp.int32)
+                lnk = [icol[24, 0], icol[25, 0], icol[26, 0], icol[27, 0]]
+                enc = icol[28, 0]  # children-ascending axis
+
+                def b(i):
+                    return crep[S * i:S * (i + 1)]       # (S,1)
+
+                anyj = []
+                for j in range(4):
+                    cjmin, cjmax = span(b(6 * j), b(6 * j + 1),
+                                        b(6 * j + 2), b(6 * j + 3),
+                                        b(6 * j + 4), b(6 * j + 5))
+                    anyj.append(live & jnp.any(cjmax >= cjmin))
+                # Visit order: slots forward when the packet direction is
+                # positive along the stored axis (children are packed
+                # ascending by center), reversed otherwise.  Empty slots
+                # carry NaN boxes, so their votes are always False (NaN
+                # fails the far >= near compare).
+                rev = ((dsign_ref[k, 0] >> enc) & 1) == 0
+                ol = [jnp.where(rev, lnk[3 - p], lnk[p]) for p in range(4)]
+                oh = [jnp.where(rev, anyj[3 - p], anyj[p])
+                      for p in range(4)]
+                olf = [x < 0 for x in ol]
+
+                # Hit leaf children enter the FIFO ring queue near-to-far
+                # (unconditional dead-slot writes as in the binary path).
+                qoff = jnp.int32(0)
+                for p in range(4):
+                    enq = oh[p] & olf[p]
+                    queue_ref[k, (qt + qoff) % QUEUE_DEPTH] = ol[p]
+                    qoff = qoff + enq.astype(jnp.int32)
+                qt = qt + qoff
+
+                # Hit INNER children: the nearest continues; the rest are
+                # stacked far-first so the nearest remaining pops first.
+                ih = [oh[p] & ~olf[p] for p in range(4)]
+                a1 = ih[0]
+                a2 = a1 | ih[1]
+                a3 = a2 | ih[2]
+                soff = jnp.int32(0)
+                for p, pu in ((3, ih[3] & a3), (2, ih[2] & a2),
+                              (1, ih[1] & a1)):
+                    stack_ref[k, jnp.minimum(sp + soff, sdepth - 1)] = ol[p]
+                    soff = soff + pu.astype(jnp.int32)
+                sp = sp + soff
+                first = jnp.where(ih[0], ol[0],
+                                  jnp.where(ih[1], ol[1],
+                                            jnp.where(ih[2], ol[2], ol[3])))
+                go_first = a3 | ih[3]
+                need_pop = live & ~go_first
+                can_pop = need_pop & (sp > 0)
+                sp_after = sp - can_pop.astype(jnp.int32)
+                popped = stack_ref[k, jnp.clip(sp_after, 0, sdepth - 1)]
+                node = jnp.where(
+                    live,
+                    jnp.where(go_first, first,
+                              jnp.where(can_pop, popped, SENT)),
+                    node)
+                sp = sp_after
+            elif bf16n:
                 # int32-carried bf16 record (8,1): slots 0-5 hold bound
                 # pairs, 6-7 the links.  Widening a bf16 bit pattern to
                 # f32 is `pattern << 16` — so the low-half bounds are
@@ -551,79 +710,63 @@ def _kernel2(any_hit: bool, hbm_nodes: bool, hbm_tris: bool, want_uv: bool,
                 def b(i):
                     return crep[S * i:S * (i + 1)]       # (S,1)
 
-            idirx, idiry, idirz = ctx_ref[k, 0], ctx_ref[k, 1], ctx_ref[k, 2]
-            oodx, oody, oodz = ctx_ref[k, 3], ctx_ref[k, 4], ctx_ref[k, 5]
+            if not w4:
+                c0min, c0max = span(b(0), b(1), b(2), b(3), b(8), b(9))
+                c1min, c1max = span(b(4), b(5), b(6), b(7), b(10), b(11))
 
-            def span(lox, hix, loy, hiy, loz, hiz):
-                tx0 = lox * idirx - oodx
-                tx1 = hix * idirx - oodx
-                ty0 = loy * idiry - oody
-                ty1 = hiy * idiry - oody
-                tz0 = loz * idirz - oodz
-                tz1 = hiz * idirz - oodz
-                near = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.maximum(jnp.minimum(tz0, tz1), tmin))
-                far = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.minimum(jnp.maximum(tz0, tz1), vote_t))
-                return near, far
+                # Child order from the stored split-axis hint vs the
+                # packet's direction sign — known as soon as the record
+                # is fetched, so the only reductions on the decision
+                # chain are two independent boolean ANY votes (vs two
+                # float min-reductions plus a compare).
+                c0low = (enc >> 2) & 1
+                dirpos = (dsign_ref[k, 0] >> (enc & 3)) & 1
+                swap = (dirpos ^ c0low) != 0
+                lnk_a = jnp.where(swap, link1, link0)
+                lnk_b = jnp.where(swap, link0, link1)
+                any0 = live & jnp.any(c0max >= c0min)
+                any1 = live & jnp.any(c1max >= c1min)
+                hit_a = jnp.where(swap, any1, any0)
+                hit_b = jnp.where(swap, any0, any1)
+                first = jnp.where(hit_a, lnk_a, lnk_b)
+                second = lnk_b
+                hit_first = hit_a | hit_b
+                hit_second = hit_a & hit_b
+                first_leaf = first < 0
+                second_leaf = second < 0
 
-            c0min, c0max = span(b(0), b(1), b(2), b(3), b(8), b(9))
-            c1min, c1max = span(b(4), b(5), b(6), b(7), b(10), b(11))
+                # Leaves go to the ring queue.  Writes are UNCONDITIONAL
+                # into dead slots (>= qt is above the live ring, >= sp
+                # above the live stack), so no read-modify-write: a
+                # non-enqueued value lands in a slot the cursor never
+                # exposes, and when only the second child enqueues,
+                # w1 == w0 overwrites the dead first.
+                enq_a = hit_first & first_leaf
+                enq_b = hit_second & second_leaf
+                w0 = qt % QUEUE_DEPTH
+                queue_ref[k, w0] = first
+                w1 = (qt + enq_a.astype(jnp.int32)) % QUEUE_DEPTH
+                queue_ref[k, w1] = second
+                qt = qt + enq_a.astype(jnp.int32) + enq_b.astype(jnp.int32)
 
-            # Child order from the stored split-axis hint vs the packet's
-            # direction sign — known as soon as the record is fetched, so
-            # the only reductions on the decision chain are two
-            # independent boolean ANY votes (vs two float min-reductions
-            # plus a compare).
-            c0low = (enc >> 2) & 1
-            dirpos = (dsign_ref[k, 0] >> (enc & 3)) & 1
-            swap = (dirpos ^ c0low) != 0
-            lnk_a = jnp.where(swap, link1, link0)
-            lnk_b = jnp.where(swap, link0, link1)
-            any0 = live & jnp.any(c0max >= c0min)
-            any1 = live & jnp.any(c1max >= c1min)
-            hit_a = jnp.where(swap, any1, any0)
-            hit_b = jnp.where(swap, any0, any1)
-            first = jnp.where(hit_a, lnk_a, lnk_b)
-            second = lnk_b
-            hit_first = hit_a | hit_b
-            hit_second = hit_a & hit_b
-            first_leaf = first < 0
-            second_leaf = second < 0
+                # Inner second child goes to the stack (dead-slot trick).
+                push = hit_second & ~second_leaf
+                stack_ref[k, jnp.minimum(sp, sdepth - 1)] = second
+                sp = sp + push.astype(jnp.int32)
 
-            # Leaves go to the ring queue.  Writes are UNCONDITIONAL into
-            # dead slots (>= qt is above the live ring, >= sp above the
-            # live stack), so no read-modify-write: a non-enqueued value
-            # lands in a slot the cursor never exposes, and when only the
-            # second child enqueues, w1 == w0 overwrites the dead first.
-            enq_a = hit_first & first_leaf
-            enq_b = hit_second & second_leaf
-            w0 = qt % QUEUE_DEPTH
-            queue_ref[k, w0] = first
-            w1 = (qt + enq_a.astype(jnp.int32)) % QUEUE_DEPTH
-            queue_ref[k, w1] = second
-            qt = qt + enq_a.astype(jnp.int32) + enq_b.astype(jnp.int32)
-
-            # Inner second child goes to the stack (same dead-slot trick).
-            push = hit_second & ~second_leaf
-            stack_ref[k, jnp.minimum(sp, STACK_DEPTH - 1)] = second
-            sp = sp + push.astype(jnp.int32)
-
-            # Next node: inner first child, else pop (stack holds only
-            # inner nodes), else SENT.
-            go_first = hit_first & ~first_leaf
-            need_pop = live & ~go_first
-            can_pop = need_pop & (sp > 0)
-            sp_after = sp - can_pop.astype(jnp.int32)
-            popped = stack_ref[k, jnp.clip(sp_after, 0, STACK_DEPTH - 1)]
-            node = jnp.where(
-                live,
-                jnp.where(go_first, first,
-                          jnp.where(can_pop, popped, SENT)),
-                node)
-            sp = sp_after
+                # Next node: inner first child, else pop (stack holds
+                # only inner nodes), else SENT.
+                go_first = hit_first & ~first_leaf
+                need_pop = live & ~go_first
+                can_pop = need_pop & (sp > 0)
+                sp_after = sp - can_pop.astype(jnp.int32)
+                popped = stack_ref[k, jnp.clip(sp_after, 0, sdepth - 1)]
+                node = jnp.where(
+                    live,
+                    jnp.where(go_first, first,
+                              jnp.where(can_pop, popped, SENT)),
+                    node)
+                sp = sp_after
 
             # ---------------- triangle units (masked) ----------------
             # One fetch+rotate serves all U units of a cursor: a leaf's
@@ -872,12 +1015,14 @@ def _trace2_jit(nodes3, woop3, rays: Rays, any_hit: bool, hbm,
         in_specs=[node_spec, woop_spec, ray_spec] + extra_specs,
         out_specs=out_specs,
         out_shape=out_shape,
-        scratch_shapes=[pltpu.SMEM((K, STACK_DEPTH), jnp.int32),
+        # 4-wide records (32 slots): up to 3 pushes per step instead of
+        # 1, but tree depth halves — 128 entries is conservative.
+        scratch_shapes=[pltpu.SMEM((K, 128 if nodes3.shape[1] == 32
+                                    else STACK_DEPTH), jnp.int32),
                         pltpu.SMEM((K, QUEUE_DEPTH), jnp.int32),
                         pltpu.VMEM((K, 6, S, 128), jnp.float32),
                         pltpu.SMEM((K, 1), jnp.int32),
-                        pltpu.VMEM((K, 8 if nodes3.dtype == jnp.int32
-                                    else 16, 128), nodes3.dtype),
+                        pltpu.VMEM((K, nodes3.shape[1], 128), nodes3.dtype),
                         pltpu.VMEM((K, C, 16, 128), jnp.float32),
                         pltpu.SemaphoreType.DMA((K,)),
                         pltpu.SemaphoreType.DMA((K, C))],
@@ -975,3 +1120,59 @@ def prepare_tables2(flat: FlatBVH, bf16_nodes: bool = False):
     if packed is None:
         return None
     return tuple(jnp.asarray(a) for a in packed)
+
+
+# U for the 4-wide kernel: quad leaves hold up to MAX_LEAF4 = 16 refs
+# (vs ~3 for binary SBVH leaves), so wider drain is re-evaluated here —
+# the round-2 "U>3 loses" result assumed 3-ref leaves.
+U4 = int(os.environ.get("TPU_RT_U4", 4))
+
+
+def prepare_tables4(quad):
+    """Device-resident 4-wide kernel tables (nodes4, woop4) or None."""
+    packed = pack_tables4(quad)
+    if packed is None:
+        return None
+    return tuple(jnp.asarray(a) for a in packed)
+
+
+def trace_packet4(quad, rays: Rays, any_hit: bool = False,
+                  tables=None, hbm: str | bool | None = None,
+                  interpret: bool = False, tile: int | None = None,
+                  k: int | None = None, u: int | None = None,
+                  want_uv: bool = True, c: int | None = None,
+                  count_iters: bool = False) -> Hits:
+    """Trace rays with the 4-wide (MBVH4) packet kernel variant.
+
+    quad: a bvh.collapse.QuadBVH (collapse4 of the binary FlatBVH).
+    Same machinery as trace_packet2 — the node unit fetches one 32-slot
+    record, slab-tests four children, and traverses in stored order with
+    direction-sign reversal; leaves hold up to 16 contiguous triangles.
+    """
+    if tables is None:
+        tables = prepare_tables4(quad)
+        if tables is None:
+            raise ValueError("scene exceeds packet4 packing limits")
+    nodes4, woop4 = tables
+    if hbm is None:
+        nodes_b = int(nodes4.size) * 4
+        woop_b = int(woop4.size) * 4
+        if nodes_b + woop_b <= VMEM_TABLE_BUDGET:
+            hbm = "vmem"
+        elif nodes_b <= VMEM_TABLE_BUDGET:
+            hbm = "mixed"
+        else:
+            hbm = "hbm"
+    if isinstance(hbm, bool):
+        hbm = "hbm" if hbm else "vmem"
+    streaming = hbm != "vmem"
+    if tile is None:
+        tile = 4096 if streaming else TILE
+    assert tile % 128 == 0
+    if k is None:
+        k = 2 if streaming else K
+    if u is None:
+        u = U4
+    return _trace2_jit(nodes4, woop4, rays, any_hit, hbm, interpret,
+                       want_uv, k, tile // 128, u, False,
+                       C if c is None else c, count_iters)
