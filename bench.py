@@ -60,22 +60,20 @@ BASELINES = {
 }
 
 
-def verify_on_device(flat, dbvh, rays, any_hit, tables, hbm, n_check):
+def verify_on_device(flat, dbvh, rays, any_hit, trace_fn, n_check):
     """Assert compiled packet kernel == XLA tracer on the live device for a
     ray subset.  Returns the number of rays cross-checked."""
     import jax
     import jax.numpy as jnp
 
     from tpu_rt.core.types import Rays
-    from tpu_rt.trace.packet2 import trace_packet2
     from tpu_rt.trace.xla_tracer import trace_wavefront
 
     n = int(rays.origin.shape[0])
     step = max(1, n // n_check)
     sub = Rays(origin=rays.origin[::step], dirn=rays.dirn[::step],
                tmin=rays.tmin[::step], tmax=rays.tmax[::step])
-    got = trace_packet2(flat, sub, any_hit=any_hit, tables=tables, hbm=hbm,
-                        want_uv=False)
+    got = trace_fn(sub, any_hit)
     want = trace_wavefront(dbvh, sub, any_hit=any_hit)
     got_tri = np.asarray(got.tri)
     want_tri = np.asarray(want.tri)
@@ -259,21 +257,15 @@ def main() -> None:
     any_hit = False
     num_rays = WIDTH * HEIGHT  # metric numerator (App.cc:188-204)
 
-    from tpu_rt.trace.packet2 import (choose_node_format, prepare_tables2,
-                                      trace_packet2)
+    from tpu_rt.trace import make_routing_tracer
 
-    tracer = os.environ.get("BENCH_TRACER", "auto")
-    tables = None
-    hbm, bf16 = choose_node_format(flat)
-    if tracer == "auto" and jax.default_backend() != "tpu":
-        tracer = "xla"  # compiled Pallas requires the TPU backend
-    if tracer in ("auto", "pallas"):
-        tables = prepare_tables2(flat, bf16_nodes=bf16)
-        if tables is not None:
-            tracer = ("pallas" if hbm == "vmem"
-                      else f"pallas-{hbm}") + ("-bf16" if bf16 else "")
-    if tables is None:
-        tracer = "xla"
+    # BENCH_TRACER: auto (packet4 -> packet2 -> xla on TPU), pallas,
+    # packet4, packet (binary), xla.
+    routing_fn, tracer, tables = make_routing_tracer(
+        flat, prefer=os.environ.get("BENCH_TRACER", "auto"),
+        cache_dir="bvhcache")
+    if tracer == "xla":
+        routing_fn, tables = None, None
 
     if RAY_TYPE != "primary":
         primary_hits = trace_wavefront(dbvh, rays)
@@ -293,9 +285,10 @@ def main() -> None:
     n = int(rays.origin.shape[0])
 
     verified = 0
-    if tracer.startswith("pallas"):
-        verified = verify_on_device(flat, dbvh, rays, any_hit, tables, hbm,
-                                    VERIFY_RAYS)
+    if routing_fn is not None:
+        verified = verify_on_device(
+            flat, dbvh, rays, any_hit,
+            lambda r, ah: routing_fn(tables, r, any_hit=ah), VERIFY_RAYS)
 
     chain = int(os.environ.get("BENCH_CHAIN", 32))
 
@@ -306,9 +299,8 @@ def main() -> None:
         # readback does.  Chaining amortizes both.
         acc = jnp.int32(0)
         for _ in range(repeats):
-            if tracer.startswith("pallas"):
-                hits = trace_packet2(flat, rays, any_hit=any_hit, tables=tables,
-                                     hbm=hbm, want_uv=False)
+            if routing_fn is not None:
+                hits = routing_fn(tables, rays, any_hit=any_hit)
             else:
                 hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
             acc = acc + jnp.sum(hits.tri)

@@ -208,6 +208,7 @@ def test_auto_fallback_warns_on_tpu(knob, monkeypatch):
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     monkeypatch.setattr(packet2, "prepare_tables2",
                         lambda flat, bf16_nodes=False: None)
+    monkeypatch.setattr(packet2, "prepare_tables4", lambda quad: None)
 
     # make_routing_tracer path.
     from tpu_rt.bvh import build_sbvh, flatten_bvh

@@ -67,12 +67,17 @@ TRIS = {"knob": "12.6K", "sponza": "121.4K", "bunny": "144.5K",
         "fairy": "174.1K", "conference": "350.9K", "sibenik": "75.3K",
         "dragon": "910.3K", "sanmiguel": "1.50M", "hairball": "6.47M"}
 
-# Full-frame verification targets: one scene per residency mode.
+# Full-frame verification targets: one scene per active tracer/residency.
+# "auto" exercises the round-5 default (packet4); "packet" the binary
+# packet2 paths; "hbm-f32" the forced fully-streamed packet2.
 FULLFRAME_TARGETS = [
-    ("bunny", None),            # auto -> vmem f32
-    ("conference", None),       # auto -> mixed f32
-    ("dragon", None),           # auto -> mixed bf16
-    ("dragon", "hbm-f32"),      # forced fully-streamed f32
+    ("bunny", "auto"),          # packet4 vmem
+    ("conference", "auto"),     # packet4 (auto residency)
+    ("dragon", "auto"),         # packet4 mixed, 32-wide leaves
+    ("bunny", "packet"),        # packet2 vmem f32
+    ("conference", "packet"),   # packet2 mixed f32
+    ("dragon", "packet"),       # packet2 mixed bf16
+    ("dragon", "hbm-f32"),      # packet2 forced fully-streamed f32
 ]
 
 
@@ -95,9 +100,7 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
     from tpu_rt.raygen.generators import gen_ao_rays
     from tpu_rt.rays.buffer import morton_sort_device
     from tpu_rt.core.types import Rays
-    from tpu_rt.trace import device_bvh
-    from tpu_rt.trace.packet2 import (choose_node_format, prepare_tables2,
-                                      trace_packet2)
+    from tpu_rt.trace import device_bvh, make_routing_tracer
     from tpu_rt.trace.xla_tracer import trace_wavefront
 
     scene, flat = _setup_scene(scene_name)
@@ -106,14 +109,13 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
     num_rays = width * height
     any_hit = False
 
-    residency, bf16 = choose_node_format(flat)
-    tables = prepare_tables2(flat, bf16_nodes=bf16)
-    tracer = os.environ.get("BS_TRACER", "auto")
-    if tracer == "auto":
-        if jax.default_backend() != "tpu" or tables is None:
-            tracer = "xla"
-        else:
-            tracer = "pallas-" + residency + ("-bf16" if bf16 else "")
+    # BS_TRACER: auto (packet4 -> packet2 -> xla), pallas, packet4,
+    # packet (binary packet2), xla.
+    routing_fn, tracer, tables = make_routing_tracer(
+        flat, prefer=os.environ.get("BS_TRACER", "auto"),
+        cache_dir="bvhcache")
+    if tracer == "xla":
+        routing_fn = None
     dbvh = device_bvh(flat) if (ray_type != "primary"
                                 or tracer == "xla") else None
 
@@ -122,9 +124,8 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
     if ray_type != "primary":
         # Primary hits via the fast kernel when available (the pre-trace
         # is not part of the metric).
-        if tracer.startswith("pallas"):
-            primary_hits = trace_packet2(flat, rays, tables=tables,
-                                         hbm=residency, want_uv=False)
+        if routing_fn is not None:
+            primary_hits = routing_fn(tables, rays)
         else:
             primary_hits = trace_wavefront(dbvh, rays)
         live = int(np.sum(np.asarray(primary_hits.tri) >= 0)) * samples
@@ -148,9 +149,8 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
     def run(reps=1):
         acc = jnp.int32(0)
         for _ in range(reps):
-            if tracer.startswith("pallas"):
-                h = trace_packet2(flat, rays, any_hit=any_hit, tables=tables,
-                                  hbm=residency, want_uv=False)
+            if routing_fn is not None:
+                h = routing_fn(tables, rays, any_hit=any_hit)
             else:
                 h = trace_wavefront(dbvh, rays, any_hit=any_hit)
             acc = acc + jnp.sum(h.tri)
@@ -175,12 +175,11 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
         "width": width, "height": height,
         "ao_radius": round(ao_radius, 4) if ao_radius else None,
     }
-    if tracer.startswith("pallas"):
+    if routing_fn is not None:
         # Iteration census for the roofline model (one extra untimed
         # trace with the count_iters kernel output).
-        _, iters = trace_packet2(flat, rays, any_hit=any_hit, tables=tables,
-                                 hbm=residency, want_uv=False,
-                                 count_iters=True)
+        _, iters = routing_fn(tables, rays, any_hit=any_hit,
+                              count_iters=True)
         it = np.asarray(iters)
         row["iters"] = int(it.sum())
         row["groups"] = int(it.size)
@@ -306,23 +305,31 @@ def verify_full() -> None:
                                       trace_packet2)
 
     results = {}
-    from tpu_rt.trace import device_bvh, trace_flat_scalar
+    from tpu_rt.trace import device_bvh, make_routing_tracer, trace_flat_scalar
     from tpu_rt.trace.xla_tracer import trace_wavefront
 
-    for scene_name, forced in FULLFRAME_TARGETS:
+    for scene_name, mode in FULLFRAME_TARGETS:
         scene, flat = _setup_scene(scene_name)
         cam = suite_camera(scene_name, scene)
         rays, _, _ = RayGen().primary(cam, FRAME_W, FRAME_H)
-        if forced == "hbm-f32":
+        if mode == "hbm-f32":
             residency, bf16 = "hbm", False
+            tables = prepare_tables2(flat, bf16_nodes=bf16)
+            h = trace_packet2(flat, rays, tables=tables, hbm=residency,
+                              want_uv=False)
+            key = "hbm"
         else:
-            residency, bf16 = choose_node_format(flat)
-        tables = prepare_tables2(flat, bf16_nodes=bf16)
-        h = trace_packet2(flat, rays, tables=tables, hbm=residency,
-                          want_uv=False)
+            fn, kind, tables = make_routing_tracer(flat, prefer=mode,
+                                                   cache_dir="bvhcache")
+            h = fn(tables, rays)
+            # packet2 keys keep the round-4 residency names
+            # (vmem/mixed/mixed-bf16); packet4 entries use their kind.
+            key = (("vmem" if kind == "packet"
+                    else kind.replace("packet-", ""))
+                   if mode == "packet" else kind)
+        key = f"{key}:{scene_name}" if key in results else key
         tri = np.asarray(h.tri)
         t = np.asarray(h.t)
-        key = residency + ("-bf16" if bf16 else "")
         # Stage 1: full-frame cross-check against an INDEPENDENT device
         # tracer (the XLA wavefront, per-lane stacks, different compile
         # pipeline).  Agreement there is overwhelming (>=99.99%); the
@@ -372,9 +379,89 @@ def verify_full() -> None:
     print("wrote BENCH_FULLFRAME.json")
 
 
+def verify_ao_frame(scene_name: str = "knob", samples: int = 8) -> None:
+    """Device-verified SECONDARY frame (VERDICT r4 #4): run a full AO
+    frame through the real Renderer at samples=8 with max_batch forced
+    small enough to produce >= 3 batches — exercising gen_ao_rays, the
+    batching cursor, the device Morton sort, per-ray anyhit vote
+    retirement, and id/slot reassembly on device — then cross-check
+    every batch's anyhit classification against the independent XLA
+    wavefront tracer and adjudicate disputes with the scalar CPU oracle.
+    Adds an "ao" entry to BENCH_FULLFRAME.json.  (Reference analog:
+    RayBuffer.cc:89-223 dumps AO batches for exactly this purpose.)"""
+    import jax
+    import jax.numpy as jnp
+
+    from tpu_rt.bench.workload import (FRAME_H, FRAME_W, suite_ao_radius,
+                                       suite_camera)
+    from tpu_rt.renderer import Renderer, RendererParams
+    from tpu_rt.trace import device_bvh, trace_flat_scalar
+    from tpu_rt.trace.xla_tracer import trace_wavefront
+
+    scene, flat = _setup_scene(scene_name)
+    cam = suite_camera(scene_name, scene)
+    radius = suite_ao_radius(scene_name, scene)
+    # max_batch in OUTPUT rays; inputs per batch = max_batch // samples.
+    # 1<<19 at samples=8 = 64K inputs/batch -> >=3 batches for any scene
+    # with >=128K primary hits (knob's object framing hits ~77% of 307K).
+    r = Renderer(FRAME_W, FRAME_H, RendererParams(
+        ray_type="ao", num_samples=samples, ao_radius=float(radius),
+        sort_secondary=True, max_batch=1 << 19, cache_dir="bvhcache"))
+    r.set_scene(scene)
+    stats = r.render_frame(cam)
+    img = r.update_result()  # exercises reassembly end-to-end
+    batches = [b for b in r._batches]
+    assert len(batches) >= 3, f"want >=3 batches, got {len(batches)}"
+
+    dbvh = device_bvh(r.flat)
+    total = disputes = wrong = 0
+    for b in batches:
+        got = np.asarray(b.hits.tri)
+        ref = np.asarray(trace_wavefront(dbvh, b.rays, any_hit=True).tri)
+        d_idx = np.flatnonzero((got >= 0) != (ref >= 0))
+        total += got.size
+        disputes += int(d_idx.size)
+        if d_idx.size:
+            o = np.asarray(b.rays.origin)[d_idx]
+            dn = np.asarray(b.rays.dirn)[d_idx]
+            tn = np.asarray(b.rays.tmin)[d_idx]
+            tx = np.asarray(b.rays.tmax)[d_idx]
+            s_id, s_t, s_u, s_v = trace_flat_scalar(r.flat, o, dn, tn, tx)
+            # The kernel is wrong only if it disagrees with the oracle
+            # AND the oracle's hit is not a borderline case (t within fp
+            # noise of tmax, or an edge graze).
+            kdis = (got[d_idx] >= 0) != (s_id >= 0)
+            margin = np.minimum(np.minimum(s_u, s_v), 1.0 - s_u - s_v)
+            border = ((s_id >= 0) & ((margin < 1e-3)
+                                     | np.isclose(s_t, tx, rtol=2e-4)))
+            wrong += int(np.sum(kdis & ~border))
+    entry = {
+        "scene": scene_name, "ray_type": "ao", "samples": samples,
+        "batches": len(batches), "rays": int(total),
+        "rays_metric": int(stats["total_rays"]),
+        "cross_tracer_disputes": int(disputes),
+        "kernel_wrong": int(wrong), "verified": wrong == 0,
+        "image_nonempty": bool(np.any(img[..., :3] != img[0, 0, :3])),
+        "device": str(jax.devices()[0]),
+    }
+    try:
+        with open("BENCH_FULLFRAME.json") as f:
+            results = json.load(f)
+    except OSError:
+        results = {}
+    results["ao"] = entry
+    with open("BENCH_FULLFRAME.json", "w") as f:
+        json.dump(results, f, indent=1)
+    print(f"ao fullframe {scene_name}: {len(batches)} batches, {total} rays, "
+          f"{disputes} disputes -> {wrong} KERNEL-WRONG", flush=True)
+
+
 def main() -> None:
     if "--verify-full" in sys.argv:
         verify_full()
+        return
+    if "--verify-ao" in sys.argv:
+        verify_ao_frame()
         return
     if "--regen-md" in sys.argv:
         # Re-render BENCH_SUITE.md from the existing JSON artifacts

@@ -39,6 +39,9 @@ CHAIN = int(os.environ.get("QP_CHAIN", 32))
 REPEATS = int(os.environ.get("QP_REPEATS", 3))
 VERIFY = int(os.environ.get("QP_VERIFY", 4096))
 U4_SWEEP = [int(x) for x in os.environ.get("QP_U4", "4").split(",")]
+K4 = int(os.environ.get("QP_K", 0)) or None    # packet4 interleave
+TILE4 = int(os.environ.get("QP_TILE", 0)) or None
+LEAF_MAX = int(os.environ.get("QP_LEAF", 0)) or MAX_LEAF4
 
 
 def take(rays, order):
@@ -110,7 +113,7 @@ def main():
         scene = Scene(procedural.scene_by_name(name))
         flat, _ = load_or_build_bvh(scene, cache_dir="bvhcache")
         t0 = time.time()
-        quad = collapse4(flat)
+        quad = collapse4(flat, leaf_max=LEAF_MAX)
         tcol = time.time() - t0
         t0 = time.time()
         tab4 = prepare_tables4(quad)
@@ -162,11 +165,15 @@ def main():
                 def t4(r, count_iters=False, u4=u4):
                     return trace_packet4(quad, r, any_hit=any_hit,
                                          tables=tab4, hbm=res4,
-                                         want_uv=False, u=u4,
+                                         want_uv=False, u=u4, k=K4,
+                                         tile=TILE4,
                                          count_iters=count_iters)
 
-                m4, i4, _ = bench_kernel(f"packet4 [{res4}] U={u4}",
-                                         t4, rays, num, flat, any_hit)
+                m4, i4, _ = bench_kernel(
+                    f"packet4 [{res4}] U={u4}"
+                    + (f" K={K4}" if K4 else "")
+                    + (f" t={TILE4}" if TILE4 else ""),
+                    t4, rays, num, flat, any_hit)
                 print(f"    -> packet4/packet2 = {m4/m2:.3f}x "
                       f"(iters {i4}/{i2} = {i4/max(i2,1):.3f}x)", flush=True)
 

@@ -1,6 +1,6 @@
 from tpu_rt.bvh.builder import BuildParams, BuildStats, Platform, build_sbvh
 from tpu_rt.bvh.flatten import flatten_bvh, woopify
-from tpu_rt.bvh.cache import bvh_cache_key, load_or_build_bvh
+from tpu_rt.bvh.cache import bvh_cache_key, load_or_build_bvh, load_or_collapse_quad
 
 __all__ = [
     "BuildParams",
@@ -11,4 +11,5 @@ __all__ = [
     "woopify",
     "bvh_cache_key",
     "load_or_build_bvh",
+    "load_or_collapse_quad",
 ]

@@ -79,6 +79,44 @@ def platform_from_env() -> Platform:
     return p
 
 
+QUAD_LAYOUT_VERSION = 1  # bump when the QuadBVH layout changes
+
+
+def load_or_collapse_quad(flat: FlatBVH, leaf_max: int | None = None,
+                          cache_dir: str | None = "bvhcache"):
+    """Collapse the binary FlatBVH to a QuadBVH (bvh.collapse.collapse4),
+    consulting/populating the cache.  Key = content hash of the binary
+    arrays + leaf_max + layout version (same %08x.npz discipline as the
+    binary cache; a quad entry is derived data, so it keys off the flat
+    arrays themselves rather than the scene/platform/params triple —
+    any upstream change reflects in the bytes)."""
+    import hashlib
+
+    from tpu_rt.bvh.collapse import MAX_LEAF4, QuadBVH, collapse4
+
+    if leaf_max is None:
+        leaf_max = MAX_LEAF4
+    path = None
+    if cache_dir is not None:
+        h = hashlib.blake2b(digest_size=8)
+        h.update(np.ascontiguousarray(flat.nodes).tobytes())
+        h.update(np.ascontiguousarray(flat.tri_index).tobytes())
+        h.update(f"quad4:{leaf_max}:{QUAD_LAYOUT_VERSION}".encode())
+        path = os.path.join(cache_dir, f"q{h.hexdigest()[:8]}.npz")
+        if os.path.exists(path):
+            with np.load(path) as z:
+                return QuadBVH(nodes=z["nodes"], tri_woop=z["tri_woop"],
+                               tri_index=z["tri_index"])
+    quad = collapse4(flat, leaf_max=leaf_max)
+    if path is not None:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + ".tmp.npz"
+        np.savez_compressed(tmp, nodes=quad.nodes, tri_woop=quad.tri_woop,
+                            tri_index=quad.tri_index)
+        os.replace(tmp, path)
+    return quad
+
+
 def load_or_build_bvh(
     scene,
     platform: Platform | None = None,

@@ -117,36 +117,29 @@ class Renderer:
         return self._dbvh
 
     def _select_tracer(self) -> None:
-        from tpu_rt.trace.packet2 import choose_node_format, prepare_tables2
+        """Resolve the tracer via make_routing_tracer: 'auto' prefers
+        the 4-wide packet kernel on TPU (round-5 winner), then the
+        binary packet kernel, then the XLA wavefront (with a loud
+        warning for the ~1000x cliff); 'pallas' forces a packet kernel
+        (raises when the scene exceeds packing limits); 'xla' forces
+        the portable tracer."""
+        from tpu_rt.trace import make_routing_tracer
 
         choice = self.params.tracer
-        self._packet_tables = None
-        self._packet_hbm, bf16_nodes = choose_node_format(self.flat)
         if choice == "xla":
-            self.active_tracer = "xla"
+            self._routing, self.active_tracer, self._tracer_tables = (
+                None, "xla", None)
             return
-        on_tpu = jax.default_backend() == "tpu"
-        if choice == "pallas" or (choice == "auto" and on_tpu):
-            self._packet_tables = prepare_tables2(self.flat,
-                                                  bf16_nodes=bf16_nodes)
-            if self._packet_tables is not None:
-                self.active_tracer = "pallas"
-                return
-        if choice == "pallas":
-            raise RuntimeError("pallas tracer requested but scene exceeds kernel limits")
-        if choice == "auto" and on_tpu:
-            # The XLA wavefront runs ~1000x slower than the packet kernel
-            # on TPU (ARCHITECTURE.md "The three tracers") — a silent
-            # fallback here would look like a perf bug, so it is loud.
-            import warnings
-
-            warnings.warn(
-                "tpu_rt: scene exceeds packet-kernel packing limits; "
-                "'auto' is falling back to the XLA wavefront tracer "
-                "(~1000x slower on TPU). Force tracer='pallas' to get "
-                "the limit error instead.",
-                RuntimeWarning, stacklevel=3)
-        self.active_tracer = "xla"
+        try:
+            fn, kind, tables = make_routing_tracer(
+                self.flat, prefer=choice, cache_dir=self.params.cache_dir)
+        except ValueError as e:
+            raise RuntimeError(str(e)) from e
+        if kind == "xla":
+            self._routing, self._tracer_tables = None, None
+        else:
+            self._routing, self._tracer_tables = fn, tables
+        self.active_tracer = kind
 
     # -- frame cycle ---------------------------------------------------------
 
@@ -181,16 +174,12 @@ class Renderer:
         dbvh = self._ensure_bvh()
         jax.block_until_ready(rays)
         t0 = time.perf_counter()
-        if self.active_tracer == "pallas":
-            from tpu_rt.trace.packet2 import trace_packet2
-
-            # want_uv=False: the frame path consumes only (tri, t), exactly
-            # the reference kernel's int2 result (STORE_RESULT,
+        if self._routing is not None:
+            # want_uv=False config: the frame path consumes only (tri, t),
+            # exactly the reference kernel's int2 result (STORE_RESULT,
             # kepler_dynamic_fetch.cu:407-408); barycentrics are recomputed
             # from raw vertices where needed (tpu_rt.diff).
-            hits = trace_packet2(self.flat, rays, any_hit=any_hit,
-                                 tables=self._packet_tables,
-                                 hbm=self._packet_hbm, want_uv=False)
+            hits = self._routing(self._tracer_tables, rays, any_hit=any_hit)
         else:
             hits = trace_wavefront(dbvh, rays, any_hit=any_hit)
         # Device-scalar fence: block_until_ready does not reliably fence on
@@ -309,12 +298,8 @@ class Renderer:
         return self.trace_time_s - t0
 
     def _trace_for_prefix(self, rays: Rays, any_hit: bool) -> Hits:
-        if self.active_tracer == "pallas":
-            from tpu_rt.trace.packet2 import trace_packet2
-
-            return trace_packet2(self.flat, rays, any_hit=any_hit,
-                                 tables=self._packet_tables,
-                                 hbm=self._packet_hbm, want_uv=False)
+        if self._routing is not None:
+            return self._routing(self._tracer_tables, rays, any_hit=any_hit)
         return trace_wavefront(self._dbvh, rays, any_hit=any_hit)
 
     def render_frame(self, camera: Camera) -> dict:

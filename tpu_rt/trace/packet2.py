@@ -265,8 +265,6 @@ def pack_tables4(quad) -> tuple[np.ndarray, np.ndarray] | None:
     28 the order-axis hint; woop like pack_tables2 with leaf runs
     re-packed contiguously (count <= MAX_LEAF4 = 16 per leaf, never
     crossing a 128-lane block).  None if packing limits are exceeded."""
-    from tpu_rt.bvh.collapse import MAX_LEAF4
-
     nodes = np.array(np.asarray(quad.nodes), np.float32, copy=True)
     links = np.ascontiguousarray(nodes[:, 24:28]).view(np.int32).copy()
     woop = np.asarray(quad.tri_woop, np.float32)
@@ -280,12 +278,15 @@ def pack_tables4(quad) -> tuple[np.ndarray, np.ndarray] | None:
     enc = ~links[leaf_node, leaf_child]
     leaf_first = (enc & FIRST_MASK).astype(np.int64)
     leaf_count = ((enc >> COUNT_SHIFT) & 0xFF).astype(np.int64)
-    if leaf_count.size and leaf_count.max(initial=0) > MAX_LEAF4:
+    # A leaf run must fit one 128-lane block (it may not cross blocks),
+    # and (first | count<<24) must stay below 2^31 for the ~ encoding.
+    max_leaf = int(leaf_count.max(initial=0))
+    if max_leaf > 127:
         return None
 
     new_first = np.zeros(leaf_count.shape[0], np.int64)
     base = 0
-    for c in range(1, MAX_LEAF4 + 1):
+    for c in range(1, max_leaf + 1):
         sel = np.flatnonzero(leaf_count == c)
         if sel.size == 0:
             continue
@@ -1123,9 +1124,10 @@ def prepare_tables2(flat: FlatBVH, bf16_nodes: bool = False):
 
 
 # U for the 4-wide kernel: quad leaves hold up to MAX_LEAF4 = 16 refs
-# (vs ~3 for binary SBVH leaves), so wider drain is re-evaluated here —
-# the round-2 "U>3 loses" result assumed 3-ref leaves.
-U4 = int(os.environ.get("TPU_RT_U4", 4))
+# (vs ~3 for binary SBVH leaves), so the round-2 "U>3 loses" result
+# (which assumed 3-ref leaves) inverts — U=16 measured best across the
+# whole suite (monotone vs 3/4/6/8/12; tools/quad_probe.py round 5).
+U4 = int(os.environ.get("TPU_RT_U4", 16))
 
 
 def prepare_tables4(quad):
