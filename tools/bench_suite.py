@@ -49,6 +49,10 @@ ROWS = [
     ("sanmiguel", "diffuse"), ("sponza", "diffuse"), ("knob", "diffuse"),
     ("conference", "ao"), ("fairy", "ao"), ("sibenik", "ao"),
     ("sanmiguel", "ao"), ("sponza", "ao"), ("knob", "ao"),
+    # Non-baseline rows (the reference publishes no dragon secondary
+    # numbers) kept for cost-model support: every residency's fit should
+    # rest on >=2 rows (VERDICT r4 #6).
+    ("dragon", "ao"), ("dragon", "diffuse"),
 ]
 
 BASELINES = {
@@ -237,6 +241,14 @@ def write_suite_md(results, width, height, chain, model=None, dev=None):
         "the same way).  Scenes are procedural surrogates with the "
         "reference scenes' triangle counts; baselines are the "
         "reference's published GPU numbers (BASELINE.md).", "",
+        "ROUND-5 KERNEL CHANGE: the default tracer is the 4-wide MBVH "
+        "packet kernel (packet4, bvh/collapse.py + packet2.py w4 path): "
+        "SAH-collapsed 4-wide nodes with 16-wide merged leaves (32 for "
+        "scenes whose binary node table exceeds the VMEM budget) and "
+        "U=16 triangle drain.  Measured +8..69% over the binary packet2 "
+        "kernel across the suite (tools/quad_probe.py); iteration "
+        "censuses drop 2.8-5.7x.  vs_model groups are therefore "
+        "per-packet4-residency this round.", "",
         "ROUND-4 WORKLOAD CHANGE (re-baselining note): the frame moved "
         "1024x768 -> 640x480 to match the reference exactly, cameras use "
         "the per-scene decoded fov (object scenes 46.8 deg; knob frames "
@@ -263,10 +275,12 @@ def write_suite_md(results, width, height, chain, model=None, dev=None):
         tests = (f"{cal['node_tests_per_ray'] + cal['tri_tests_per_ray']:.0f}"
                  if cal else "")
         hitp = f"{cal['hit_frac'] * 100:.0f}%" if cal else ""
+        vsb = (f"{r['vs_baseline']:.3f}"
+               if r.get("vs_baseline") is not None else "n/a")
         lines.append(
             f"| {r['scene']} ({TRIS.get(r['scene'], '?')}) "
-            f"| {r['ray_type']} | {r['mrays']} | {r['baseline']} "
-            f"| {r['vs_baseline']:.3f} | {tests} | {hitp} "
+            f"| {r['ray_type']} | {r['mrays']} | {r['baseline'] or 'n/a'} "
+            f"| {vsb} | {tests} | {hitp} "
             f"| {r.get('iters', '')} | {r.get('vs_model', '')} |")
     for r in results:
         if "error" in r:
@@ -276,6 +290,10 @@ def write_suite_md(results, width, height, chain, model=None, dev=None):
         lines += ["", "## Fitted cost model (per residency)", "",
                   "```json", json.dumps(model, indent=1), "```"]
     for path, title in (
+            ("BENCH_HIRES.json", "Resolution scaling (non-baseline "
+             "1280x960 rows: tessellation-bound scenes gain Mray/s with "
+             "resolution — the packet union sweeps the same visible "
+             "geometry per frame, BASELINE.md:72-74)"),
             ("BENCH_FULLFRAME.json", "Full-frame compiled-device parity "
              "(exact hit-id compare vs the CPU wavefront per residency)"),
             ("BENCH_DIFF.json", "Differentiable path (forward render / "
@@ -289,7 +307,7 @@ def write_suite_md(results, width, height, chain, model=None, dev=None):
             with open(path) as f:
                 lines += [ln.rstrip() for ln in f if ln.strip()]
             lines += ["```"]
-    lines += ["", f"Updated: round 4 ({time.strftime('%Y-%m-%d')})."]
+    lines += ["", f"Updated: round 5 ({time.strftime('%Y-%m-%d')})."]
     with open("BENCH_SUITE.md", "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -487,9 +505,10 @@ def main() -> None:
     for scene_name, ray_type in rows:
         try:
             r = bench_row(scene_name, ray_type, width, height, repeats, chain)
+            vsb = (f"(x{r['vs_baseline']:.3f} of {r['baseline']})"
+                   if r.get("vs_baseline") is not None else "(non-baseline)")
             print(f"{scene_name:11s} {ray_type:8s} {r['mrays']:8.2f} Mray/s"
-                  f"  (x{r['vs_baseline']:.3f} of {r['baseline']})"
-                  f"  [{r['tracer']}]", flush=True)
+                  f"  {vsb}  [{r['tracer']}]", flush=True)
         except Exception as e:  # noqa: BLE001
             r = {"scene": scene_name, "ray_type": ray_type,
                  "error": f"{type(e).__name__}: {e}"}
