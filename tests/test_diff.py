@@ -182,3 +182,57 @@ def test_inverse_rendering_converges(setup):
         losses.append(float(loss))
     assert losses[0] > 0, "perturbation produced no loss"
     assert losses[-1] < losses[0] / 10, (losses[0], losses[-1])
+
+
+def test_train_checkpoint_resume(tmp_path):
+    """Optimization loop with orbax checkpoint/resume (SURVEY section 5
+    checkpoint/resume, extended from the reference's BVH-cache-only
+    story): an interrupted run restored from its checkpoint must
+    produce BIT-IDENTICAL params to the uninterrupted run, and the
+    loss must decrease."""
+    import jax.numpy as jnp
+
+    from tpu_rt.bvh import build_sbvh, flatten_bvh
+    from tpu_rt.core.types import make_rays
+    from tpu_rt.diff.shading import render_image_diff
+    from tpu_rt.diff.train import fit
+    from tpu_rt.scene import Scene, procedural
+    from tpu_rt.trace import device_bvh
+
+    scene = Scene(procedural.make_blob(120, seed=9))
+    flat = device_bvh(flatten_bvh(build_sbvh(scene), scene.tri_vtx_index,
+                                  scene.vtx_pos))
+    rng = np.random.default_rng(4)
+    lo, hi = scene.bbox()
+    size = float(np.linalg.norm(hi - lo))
+    n = 256
+    o = ((lo + hi) / 2 + rng.normal(size=(n, 3)) * size).astype(np.float32)
+    t = rng.uniform(lo, hi, (n, 3)).astype(np.float32)
+    d = t - o
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    rays = make_rays(o, d, np.zeros(n), np.full(n, 4 * size))
+    tvi = jnp.asarray(scene.tri_vtx_index)
+
+    # Target: the true scene; start params: perturbed materials.
+    vtx = jnp.asarray(scene.vtx_pos)
+    mat_true = jnp.asarray(scene.tri_material)
+    target = render_image_diff(flat, rays, vtx, tvi, mat_true)
+    mat0 = mat_true + 0.3 * jnp.asarray(
+        rng.normal(size=mat_true.shape).astype(np.float32))
+
+    steps = 6
+    s_full, losses_full = fit(flat, rays, tvi, target, vtx, mat0,
+                              steps=steps, lr=5e-2)
+    assert losses_full[-1] < losses_full[0]  # it optimizes
+
+    ck = str(tmp_path / "ckpt")
+    s_a, _ = fit(flat, rays, tvi, target, vtx, mat0, steps=3, lr=5e-2,
+                 ckpt_dir=ck)
+    assert int(s_a.step) == 3
+    s_b, losses_b = fit(flat, rays, tvi, target, vtx, mat0, steps=steps,
+                        lr=5e-2, ckpt_dir=ck)  # restores step 3, runs 3 more
+    assert int(s_b.step) == steps and len(losses_b) == 3
+    np.testing.assert_array_equal(np.asarray(s_b.tri_material),
+                                  np.asarray(s_full.tri_material))
+    np.testing.assert_array_equal(np.asarray(s_b.vtx_pos),
+                                  np.asarray(s_full.vtx_pos))

@@ -267,3 +267,26 @@ def test_collective_audit_packet_routing(setup):
     assert audit["forward_compiled"] == {}, audit
     assert audit["grad_step_stablehlo"] == {"all_reduce": 3}, audit
     assert set(audit["grad_step_compiled"]) == {"all-reduce"}, audit
+
+
+def test_trace_sharded_packet4_routing(setup):
+    """The 4-wide MBVH kernel (interpret mode on the CPU mesh) runs
+    inside shard_map as the routing tracer and matches the XLA tracer
+    — same contract as the binary packet kernel."""
+    from tpu_rt.trace import make_routing_tracer
+
+    scene, flat, rays = setup
+    mesh = make_ray_mesh()
+    routing, kind, tables = make_routing_tracer(
+        flat, prefer="packet4", interpret=True, tile=128, k=2)
+    assert kind.startswith("packet4")
+    rep_tables = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec())), tables)
+    sharded = trace_sharded(flat, shard_rays(rays, mesh), mesh,
+                            routing=routing, tables=rep_tables)
+    single = trace_wavefront(flat, rays)
+    np.testing.assert_array_equal(np.asarray(sharded.tri),
+                                  np.asarray(single.tri))
+    np.testing.assert_allclose(np.asarray(sharded.t), np.asarray(single.t),
+                               rtol=1e-5)
