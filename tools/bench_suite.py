@@ -200,16 +200,31 @@ def fit_cost_model(rows: list[dict]) -> dict:
     for r in rows:
         if "iters" in r and r.get("best_s"):
             by_res.setdefault(r["tracer"], []).append(r)
+    fits = {}
+    shared_g = []
     for res, rs in by_res.items():
         A = np.array([[r["groups"], r["iters"]] for r in rs], np.float64)
         b = np.array([r["best_s"] for r in rs], np.float64)
         if len(rs) >= 2:
             coef, *_ = np.linalg.lstsq(A, b, rcond=None)
             g, c = float(max(coef[0], 0.0)), float(max(coef[1], 0.0))
+            shared_g.append(g)
+            fits[res] = (g, c, len(rs), False)
         else:
-            g, c = 0.0, float(b[0] / max(A[0, 1], 1))
+            fits[res] = (None, None, 1, True)
+    for res, (g, c, n, single) in fits.items():
+        rs = by_res[res]
+        if single:
+            # A 1-row residency cannot support a 2-parameter fit
+            # (VERDICT r4 #6): share per_group from the multi-row
+            # residencies and solve per_iter from the single row.
+            g = float(np.mean(shared_g)) if shared_g else 0.0
+            r0 = rs[0]
+            c = max((r0["best_s"] - g * r0["groups"]), 0.0) / max(
+                r0["iters"], 1)
         out[res] = {"per_group_us": round(g * 1e6, 2),
-                    "per_iter_us": round(c * 1e6, 3), "n_rows": len(rs)}
+                    "per_iter_us": round(c * 1e6, 3), "n_rows": n,
+                    **({"per_group_shared": True} if single else {})}
         for r in rs:
             pred = g * r["groups"] + c * r["iters"]
             r["model_s"] = round(pred, 5)
