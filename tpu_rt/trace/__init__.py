@@ -66,8 +66,9 @@ def _packet_routing(hbm, interpret, tile, k, u, c, tables, rays,
 def quad_policy(flat) -> int:
     """leaf_max for the MBVH4 collapse: big scenes (binary node table
     exceeding the VMEM budget — dragon/hairball/sanmiguel class) take
-    32-wide leaves + deeper drain (measured dragon +9% over 16/U16);
-    everything else the default 16 (knob regressed at 32)."""
+    32-wide leaves + U=32 drain (dragon 5.7 -> 7.5, hairball 1.6 ->
+    2.25 Mray/s over 24-deep drain); everything else the default 16
+    (knob regressed at 32)."""
     import numpy as np
 
     from tpu_rt.bvh.collapse import MAX_LEAF4
@@ -108,8 +109,8 @@ def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
     import jax
 
     from tpu_rt.trace.packet2 import (
-        C, K, TILE, U, U4, VMEM_TABLE_BUDGET, choose_node_format,
-        prepare_tables2, prepare_tables4,
+        C, K, K4, TILE, TILE4, U, U4, VMEM_TABLE_BUDGET,
+        choose_node_format, prepare_tables2, prepare_tables4,
     )
 
     on_tpu = jax.default_backend() == "tpu"
@@ -126,11 +127,10 @@ def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
             woop_b = int(tables[1].size) * 4
             hbm = ("vmem" if nodes_b + woop_b <= VMEM_TABLE_BUDGET
                    else "mixed" if nodes_b <= VMEM_TABLE_BUDGET else "hbm")
-            streaming = hbm != "vmem"
-            du = 24 if leaf_max == 32 else U4
-            fn = _PacketRouting(hbm, interpret,
-                                tile or (4096 if streaming else TILE),
-                                k or (2 if streaming else K),
+            # U matches the leaf width; K=1/tile=2048 across residencies
+            # (round-5 sweep — see packet2.py K4/TILE4 notes).
+            du = 32 if leaf_max == 32 else U4
+            fn = _PacketRouting(hbm, interpret, tile or TILE4, k or K4,
                                 u or du, c or C, want_uv)
             return fn, f"packet4-{hbm}", tables
         if prefer == "packet4":

@@ -1125,9 +1125,18 @@ def prepare_tables2(flat: FlatBVH, bf16_nodes: bool = False):
 
 # U for the 4-wide kernel: quad leaves hold up to MAX_LEAF4 = 16 refs
 # (vs ~3 for binary SBVH leaves), so the round-2 "U>3 loses" result
-# (which assumed 3-ref leaves) inverts — U=16 measured best across the
-# whole suite (monotone vs 3/4/6/8/12; tools/quad_probe.py round 5).
+# (which assumed 3-ref leaves) inverts — U = the leaf width measured
+# best (16 for 16-wide leaves, 32 for the 32-wide big-scene collapse:
+# dragon 5.7 -> 7.5, hairball 1.6 -> 2.25 Mray/s).
 U4 = int(os.environ.get("TPU_RT_U4", 16))
+# Interleave/tile for the 4-wide kernel: K=1/tile=2048 measured best
+# across every scene and residency (bunny 27.5 -> 40.5, knob ao 16.4 ->
+# 23.5, dragon 3.25 -> 7.5 with U32, hairball 1.14 -> 2.25) — the wide
+# step carries enough vector ILP (4 spans + 16-32 tri units) that the
+# round-3 K=2 latency-overlap law for the binary kernel inverts; K>=2
+# doubles per-iteration issue and spills.
+K4 = int(os.environ.get("TPU_RT_K4", 1))
+TILE4 = int(os.environ.get("TPU_RT_TILE4", 2048))
 
 
 def prepare_tables4(quad):
@@ -1167,12 +1176,11 @@ def trace_packet4(quad, rays: Rays, any_hit: bool = False,
             hbm = "hbm"
     if isinstance(hbm, bool):
         hbm = "hbm" if hbm else "vmem"
-    streaming = hbm != "vmem"
     if tile is None:
-        tile = 4096 if streaming else TILE
+        tile = TILE4
     assert tile % 128 == 0
     if k is None:
-        k = 2 if streaming else K
+        k = K4
     if u is None:
         u = U4
     return _trace2_jit(nodes4, woop4, rays, any_hit, hbm, interpret,
