@@ -62,6 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     # grtcmdline replay mode: run a reference command line verbatim
     # (grtcmdline.txt:1-61 — the reference's per-scene cookbook fed to
     # FW::init, Main.cc:86-158), proving drop-in CLI compatibility.
+    # Interactive display path (the reference's GL window, App.cc:62-132,
+    # re-imagined for a headless accelerator host: HTTP orbit viewer).
+    p.add_argument("--serve", type=int, nargs="?", const=8787, default=None,
+                   metavar="PORT",
+                   help="Serve an interactive orbit viewer instead of "
+                        "benchmarking (default port 8787)")
     p.add_argument("--grt-file",
                    help="Reference command cookbook (e.g. grtcmdline.txt); "
                         "replays one of its '--mesh=... --camera=...' lines")
@@ -130,6 +136,26 @@ def apply_grt(parser: argparse.ArgumentParser, args, argv: list[str]):
         args.mesh = None
         args.scene = surrogate
     return args
+
+
+def run_viewer(args) -> None:
+    from tpu_rt.bench.viewer import ViewerState, serve
+    from tpu_rt.renderer import RendererParams
+    from tpu_rt.scene import Scene, import_wavefront_mesh, procedural
+
+    mesh = (import_wavefront_mesh(args.mesh) if args.mesh
+            else procedural.scene_by_name(args.scene))
+    try:
+        width, height = (int(v) for v in args.size.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"--size expects WxH, got {args.size!r}")
+    params = RendererParams(
+        ray_type=args.ray_type, ao_radius=args.ao_radius,
+        num_samples=args.samples, sort_secondary=bool(args.sort),
+        seed=args.seed, cache_dir=args.cache_dir or None,
+        tracer=args.tracer)
+    serve(ViewerState(Scene(mesh), width, height, params),
+          port=args.serve)
 
 
 def run_benchmark(args) -> dict:
@@ -237,6 +263,11 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
     if args.grt_file:
         args = apply_grt(parser, args, argv)
+    if args.serve is not None:
+        if not args.mesh and not args.scene:
+            raise SystemExit("specify --mesh=<file.obj> or --scene=<name>")
+        run_viewer(args)
+        return 0
     run_benchmark(args)
     return 0
 
