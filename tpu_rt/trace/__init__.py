@@ -63,17 +63,47 @@ def _packet_routing(hbm, interpret, tile, k, u, c, tables, rays,
         tables, rays, any_hit=any_hit)
 
 
-def quad_policy(flat) -> int:
-    """leaf_max for the MBVH4 collapse: big scenes (binary node table
-    exceeding the VMEM budget — dragon/hairball/sanmiguel class) take
-    32-wide leaves + U=32 drain (dragon 5.7 -> 7.5, hairball 1.6 ->
-    2.25 Mray/s over 24-deep drain); everything else the default 16
-    (knob regressed at 32)."""
+def _tune_path(flat, cache_dir):
+    """Per-scene tune-cache file (content-keyed like the quad cache)."""
+    import hashlib
+    import os
+
+    import numpy as np
+
+    if cache_dir is None:
+        return None
+    h = hashlib.blake2b(digest_size=8)
+    h.update(np.ascontiguousarray(flat.nodes).tobytes())
+    h.update(b"quad-tune")
+    return os.path.join(cache_dir, f"t{h.hexdigest()[:8]}.json")
+
+
+def quad_policy(flat, cache_dir: str | None = None) -> int:
+    """leaf_max for the MBVH4 collapse.
+
+    Static rule: big scenes (binary node table exceeding the VMEM
+    budget) take 32-wide leaves, everything else 16 (knob regressed at
+    32).  The drain width U always equals the leaf width.  The knee is
+    scene-shaped beyond that — measured: dragon and hairball gain
+    another +7%/+16% at 64-wide leaves while sanmiguel LOSES 24% — so
+    a measured per-scene override can be recorded by tools/tune_quad.py
+    into the cache (content-keyed json next to the quad cache); when
+    present it wins."""
+    import json
+    import os
+
     import numpy as np
 
     from tpu_rt.bvh.collapse import MAX_LEAF4
     from tpu_rt.trace.packet2 import VMEM_TABLE_BUDGET
 
+    p = _tune_path(flat, cache_dir)
+    if p is not None and os.path.exists(p):
+        try:
+            with open(p) as f:
+                return int(json.load(f)["leaf_max"])
+        except (OSError, KeyError, ValueError):
+            pass
     nodes_b = int(np.asarray(flat.nodes).shape[0]) * 64
     return 32 if nodes_b > VMEM_TABLE_BUDGET else MAX_LEAF4
 
@@ -118,7 +148,7 @@ def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
     if want4:
         from tpu_rt.bvh.cache import load_or_collapse_quad
 
-        leaf_max = quad_policy(flat)
+        leaf_max = quad_policy(flat, cache_dir=cache_dir)
         quad = load_or_collapse_quad(flat, leaf_max=leaf_max,
                                      cache_dir=cache_dir)
         tables = prepare_tables4(quad)
@@ -129,9 +159,8 @@ def make_routing_tracer(flat, prefer: str = "auto", interpret: bool = False,
                    else "mixed" if nodes_b <= VMEM_TABLE_BUDGET else "hbm")
             # U matches the leaf width; K=1/tile=2048 across residencies
             # (round-5 sweep — see packet2.py K4/TILE4 notes).
-            du = 32 if leaf_max == 32 else U4
             fn = _PacketRouting(hbm, interpret, tile or TILE4, k or K4,
-                                u or du, c or C, want_uv)
+                                u or leaf_max, c or C, want_uv)
             return fn, f"packet4-{hbm}", tables
         if prefer == "packet4":
             raise ValueError("packet4 tracer requested but scene exceeds "
