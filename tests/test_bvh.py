@@ -151,3 +151,27 @@ def test_cache_key_stable_across_processes():
                              capture_output=True, text=True, check=True)
         keys.add(out.stdout.strip())
     assert len(keys) == 1, keys
+
+
+def test_quad_policy_tune_cache(tmp_path):
+    """quad_policy consults the content-keyed tune cache written by
+    tools/tune_quad.py; absent/corrupt entries fall back to the static
+    rule."""
+    import json
+
+    from tpu_rt.bvh import build_sbvh, flatten_bvh
+    from tpu_rt.scene import Scene, procedural
+    from tpu_rt.trace import _tune_path, quad_policy
+
+    scene = Scene(procedural.make_blob(200, seed=6))
+    flat = flatten_bvh(build_sbvh(scene), scene.tri_vtx_index,
+                       scene.vtx_pos)
+    assert quad_policy(flat) == 16  # small scene static rule
+    assert quad_policy(flat, cache_dir=str(tmp_path)) == 16  # no entry
+    p = _tune_path(flat, str(tmp_path))
+    with open(p, "w") as f:
+        json.dump({"leaf_max": 32}, f)
+    assert quad_policy(flat, cache_dir=str(tmp_path)) == 32
+    with open(p, "w") as f:
+        f.write("not json")
+    assert quad_policy(flat, cache_dir=str(tmp_path)) == 16  # fallback
