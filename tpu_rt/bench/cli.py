@@ -41,8 +41,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="AO ray length (default 5)")
     p.add_argument("--samples", type=int, default=8,
                    help="Secondary rays per primary hit (default 8)")
-    p.add_argument("--sort", type=int, default=1, choices=(0, 1),
-                   help="Morton-sort secondary rays (default 1)")
+    p.add_argument("--sort", type=int, default=0, choices=(0, 1),
+                   help="Morton-sort secondary rays (default 0 — the "
+                        "reference's committed benchmark forces the sort "
+                        "off, App.cc:157, and it measures neutral for "
+                        "the packet kernel)")
     p.add_argument("--warmup-repeats", type=int, default=2,
                    help="Warmup frames (default 2)")
     p.add_argument("--measure-repeats", type=int, default=10,

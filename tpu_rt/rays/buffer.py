@@ -70,6 +70,38 @@ def morton_sort_device(origin: jnp.ndarray, dirn: jnp.ndarray) -> jnp.ndarray:
 
 
 @jax.jit
+def morton_sort_device_coarse(origin: jnp.ndarray,
+                              dirn: jnp.ndarray) -> jnp.ndarray:
+    """Permutation sorting rays by a 30-bit origin Morton key (10
+    bits/axis within the batch AABB) — ONE sort key instead of six.
+
+    Packet traversal shares one cursor per multi-thousand-ray tile, so
+    only COARSE spatial grouping shapes the traversal union; the fine
+    tail of the 192-bit reference key orders rays WITHIN a packet,
+    which the shared cursor cannot see.  The TPU's variadic multi-key
+    sort is the frame path's wall-clock bottleneck (knob AO: 418 ms of
+    sort against 75 ms of trace); the single-key sort removes ~95% of
+    that with trace time unchanged within noise (measured round 5).
+    ``dirn`` is accepted for signature parity and unused (direction
+    keying measured neutral-to-worse, ARCHITECTURE.md round-4 notes).
+    """
+    valid = jnp.isfinite(origin).all(axis=1, keepdims=True)
+    lo = jnp.min(jnp.where(valid, origin, jnp.inf), axis=0)
+    hi = jnp.max(jnp.where(valid, origin, -jnp.inf), axis=0)
+    extent = jnp.where(hi - lo > 0, hi - lo, 1.0)
+    q = ((origin - lo) / extent * np.float32(1023.0)).astype(
+        jnp.int32).clip(0, 1023).astype(jnp.uint32)
+    key = jnp.zeros(origin.shape[0], jnp.uint32)
+    for i in range(10):
+        for d in range(3):
+            key = key | (((q[:, d] >> np.uint32(i)) & np.uint32(1))
+                         << np.uint32(i * 3 + d))
+    n = origin.shape[0]
+    perm = jnp.arange(n, dtype=jnp.int32)
+    return jax.lax.sort([key, perm], num_keys=1, is_stable=True)[1]
+
+
+@jax.jit
 def sort_dead_last_device(rays: Rays) -> jnp.ndarray:
     """Morton permutation with the degenerate flag (tmax<0) as the most
     significant key: live rays first in Morton order, dead rays last.

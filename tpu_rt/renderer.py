@@ -24,7 +24,7 @@ from tpu_rt.bvh import BuildParams, Platform, load_or_build_bvh
 from tpu_rt.core.math import to_abgr
 from tpu_rt.core.types import Hits, Rays
 from tpu_rt.raygen import RayGen
-from tpu_rt.rays.buffer import morton_sort_device
+from tpu_rt.rays.buffer import morton_sort_device_coarse
 from tpu_rt.scene import Camera, Scene
 from tpu_rt.shade import count_hits, reconstruct_image
 from tpu_rt.trace import device_bvh, trace_wavefront
@@ -39,7 +39,14 @@ class RendererParams:
     ray_type: str = "primary"
     ao_radius: float = 5.0
     num_samples: int = 8
-    sort_secondary: bool = True
+    # OFF by default, matching the reference's COMMITTED benchmark
+    # (App.cc:157 forces sortSecondary=false) and the round-4/5
+    # measurement that the Morton sort is +-3% neutral for the packet
+    # kernel on the calibrated workload (gen_ao_rays emits rays in
+    # already-pixel-coherent primary-slot order) while costing more
+    # wall-clock than the trace itself (knob AO: 190 ms coarse sort vs
+    # 64 ms trace).  The flag is real (the reference's is dead).
+    sort_secondary: bool = False
     # Opt-in dynamic-fetch analogue: sort degenerate (primary-miss)
     # rays to the end of each secondary batch and trace only the live
     # prefix (rays/buffer.py sort_dead_last_device/trace_live_prefix).
@@ -245,7 +252,11 @@ class Renderer:
                 order_dev = sort_dead_last_device(rays)
                 self._batch_live = int(jnp.sum(rays.tmax >= 0))
             else:
-                order_dev = morton_sort_device(rays.origin, rays.dirn)
+                # Coarse 30-bit key: packet grouping only needs coarse
+                # locality, and the variadic 192-bit device sort costs
+                # 5x the trace itself (rays/buffer.py docstring).
+                order_dev = morton_sort_device_coarse(rays.origin,
+                                                      rays.dirn)
             rays = Rays(
                 origin=rays.origin[order_dev],
                 dirn=rays.dirn[order_dev],
