@@ -118,6 +118,11 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
     routing_fn, tracer, tables = make_routing_tracer(
         flat, prefer=os.environ.get("BS_TRACER", "auto"),
         cache_dir="bvhcache")
+    leaf_max = None
+    if tracer.startswith("packet4"):
+        from tpu_rt.trace import quad_policy
+
+        leaf_max = quad_policy(flat, cache_dir="bvhcache")
     if tracer == "xla":
         routing_fn = None
     dbvh = device_bvh(flat) if (ray_type != "primary"
@@ -176,6 +181,7 @@ def bench_row(scene_name: str, ray_type: str, width: int, height: int,
         "vs_baseline": round(mrays / base, 4) if base else None,
         "best_s": round(best, 5), "rays_metric": num_rays,
         "rays_traced": int(rays.origin.shape[0]), "tracer": tracer,
+        "leaf_max": leaf_max,
         "width": width, "height": height,
         "ao_radius": round(ao_radius, 4) if ao_radius else None,
     }
@@ -199,7 +205,13 @@ def fit_cost_model(rows: list[dict]) -> dict:
     by_res = {}
     for r in rows:
         if "iters" in r and r.get("best_s"):
-            by_res.setdefault(r["tracer"], []).append(r)
+            # Fit groups split by leaf width where recorded: one (g, c)
+            # pair cannot span 32- and 64-wide drain configurations
+            # (round-5: dragon's tuned leaf-64 rows sat at 0.68/1.62 of
+            # a mixed-width packet4-mixed fit).
+            key = r["tracer"] + (f"-leaf{r['leaf_max']}"
+                                 if r.get("leaf_max") else "")
+            by_res.setdefault(key, []).append(r)
     fits = {}
     shared_g = []
     for res, rs in by_res.items():
